@@ -1,0 +1,144 @@
+"""Typed configuration for the DIS-YOLO TPU framework.
+
+Replaces the reference's flat mutable module of UPPERCASE constants
+(``/root/reference/yolo/config.py:12-72``) with a frozen dataclass that is
+hashable (so it can be closed over by ``jax.jit``) and explicit about every
+knob the reference exposes: classes, the 9 k-means anchors clustered at
+576 px, loss scales, thresholds and the fixed-shape caps that make the whole
+pipeline XLA-friendly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Tuple
+
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class DISYoloConfig:
+    """All hyper-parameters of the DIS-YOLO instance-segmentation framework.
+
+    Defaults reproduce the reference configuration
+    (``/root/reference/yolo/config.py``).
+    """
+
+    # ---- dataset / paths (host side only; never captured in jitted code) ----
+    model_path: str = "."
+    dataset: str = "data"
+    output_dir: str = "output"
+    weights_file: str = ""
+
+    # ---- classes & anchors -------------------------------------------------
+    classes: Tuple[str, ...] = ("crack", "spall", "rebar")
+    # 9 anchors (w, h) from k-means at image size 576 (config.py:22), flat
+    # tuple so the dataclass stays hashable; use `anchors_array` for math.
+    anchors: Tuple[Tuple[float, float], ...] = (
+        (31, 23), (62, 58), (143, 91), (213, 186), (61, 337),
+        (194, 432), (474, 248), (551, 93), (478, 454),
+    )
+    anchors_per_scale: int = 3
+
+    # ---- augmentation toggles (train_data.py) ------------------------------
+    flipped: bool = True
+    blur_noise_light: bool = True
+
+    # ---- training schedule --------------------------------------------------
+    max_iter: int = 10000
+    summary_iter: int = 50
+    save_iter: int = 500
+
+    # ---- model ---------------------------------------------------------------
+    alpha: float = 0.1              # leaky-ReLU slope (config.py:38)
+    batch_size: int = 2
+    image_size: int = 576
+    k_map: int = 3                  # k x k position-sensitive score maps
+    mask_stride: int = 2            # score maps at input/2 (yolo3_net_pos.py:380)
+
+    # ---- loss scales (config.py:49-54) --------------------------------------
+    object_scale: float = 2.0
+    noobject_scale: float = 1.0
+    class_scale: float = 1.0
+    coord_scale: float = 1.0
+    mask_scale: float = 5.0
+    score_scale: float = 2.0
+    l2_scale: float = 1e-4          # tf.contrib l2_regularizer scale
+    ignore_thresh: float = 0.5      # iou above which no-obj conf loss ignored
+
+    # ---- detection thresholds -----------------------------------------------
+    obj_threshold: float = 0.25
+    iou_threshold: float = 0.3      # NMS IoU
+    test_size: int = 576
+
+    # ---- fixed-shape caps (config.py:69-72) ----------------------------------
+    max_box_per_image: int = 20
+    max_detection: int = 30
+    # TPU-only knob: number of score-sorted candidates entering the O(K^2)
+    # greedy NMS.  The reference NMS-es every box above obj_threshold; with
+    # max_detection=30 a 512-candidate shortlist is lossless in practice.
+    pre_nms_top_k: int = 512
+
+    # ---- precision / parallelism --------------------------------------------
+    compute_dtype: str = "bfloat16"   # conv compute dtype on TPU
+    param_dtype: str = "float32"
+    # conv layer ids (1-based, matching reference scope names) that are
+    # frozen.  Stage 1 = backbone 1..52 locked (yolo3_net_pos.py:155-156).
+    locked_layers: Tuple[int, ...] = tuple(range(1, 53))
+    dp_axis: str = "dp"
+
+    # -------------------------------------------------------------------------
+    @property
+    def num_class(self) -> int:
+        return len(self.classes)
+
+    @property
+    def base_grid(self) -> int:
+        # grid of the lowest-resolution (stride-32) head (config.py:46)
+        return self.image_size // 32
+
+    @property
+    def mask_size(self) -> int:
+        # score-map side length: stride-2 decoder output
+        return self.image_size // self.mask_stride
+
+    @property
+    def num_scoremaps(self) -> int:
+        return self.k_map * self.k_map
+
+    @property
+    def output_depth(self) -> int:
+        return (self.num_class + 5) * self.anchors_per_scale
+
+    def anchors_array(self) -> np.ndarray:
+        return np.asarray(self.anchors, dtype=np.float32)
+
+    def class_to_ind(self) -> dict:
+        return {c: i for i, c in enumerate(self.classes)}
+
+    def grid_sizes(self) -> Tuple[int, int, int]:
+        """Grid side lengths ordered small-object scale first.
+
+        Matches ``interpret_output``'s iteration order where index 0 is the
+        stride-8 72x72 map (yolo3_net_pos.py:353: yolos=[yolov3_3, yolov3_2,
+        yolov3_1]).
+        """
+        g = self.base_grid
+        return (4 * g, 2 * g, g)
+
+    def data_path(self, phase: str) -> str:
+        return os.path.join(self.dataset, phase)
+
+    def replace(self, **kw) -> "DISYoloConfig":
+        return dataclasses.replace(self, **kw)
+
+    def snapshot(self) -> str:
+        """Human-readable config dump (parity with Solver.save_cfg)."""
+        lines = []
+        for f in dataclasses.fields(self):
+            lines.append("{}: {}".format(f.name.upper(), getattr(self, f.name)))
+        return "\n".join(lines) + "\n"
+
+
+DEFAULT_CONFIG = DISYoloConfig()

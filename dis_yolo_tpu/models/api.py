@@ -1,0 +1,72 @@
+"""High-level model API: init / forward / end-to-end predict.
+
+``predict`` is the TPU-native equivalent of the reference's
+``net.evaluation`` fetch (yolo3_net_pos.py:65 -> val_test :862-938): one
+jittable function taking a letterboxed image batch and per-image clip
+windows, returning fixed-shape padded detections and assembled sigmoid
+masks (validity = nonzero detection rows).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from dis_yolo_tpu.config import DISYoloConfig
+from dis_yolo_tpu.models.dis_yolo import DISYolo
+from dis_yolo_tpu.ops import mask_assembly, nms
+from dis_yolo_tpu.ops.decode import decode_all
+
+
+def create_model(cfg: DISYoloConfig) -> DISYolo:
+    return DISYolo(cfg=cfg)
+
+
+def init_variables(cfg: DISYoloConfig, rng: jax.Array,
+                   image_size: Optional[int] = None) -> Dict[str, Any]:
+    """Initialize {params, batch_stats}; shapes are resolution-independent."""
+    size = image_size or cfg.image_size
+    model = create_model(cfg)
+    dummy = jnp.zeros((1, size, size, 3), jnp.float32)
+    return model.init(rng, dummy, train=False)
+
+
+def forward(model: DISYolo, variables: Dict[str, Any], images: jnp.ndarray,
+            train: bool = False):
+    """Raw network outputs; in train mode also returns updated batch_stats."""
+    if train:
+        out, mutated = model.apply(variables, images, train=True,
+                                   mutable=["batch_stats"])
+        return out, mutated["batch_stats"]
+    return model.apply(variables, images, train=False)
+
+
+def predict(model: DISYolo, variables: Dict[str, Any], images: jnp.ndarray,
+            windows: jnp.ndarray, obj_thresh: Optional[float] = None
+            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Full inference: images [B,H,W,3], windows [B,4] ->
+    (detections [B,D,6] zero-padded, masks [B,D,S,S] sigmoid probabilities).
+    """
+    cfg = model.cfg
+    raws = forward(model, variables, images, train=False)
+    preds = decode_all(raws[:3], cfg)
+    dets = nms.filter_detections(preds, windows, cfg, obj_thresh)
+    masks = mask_assembly.assemble_masks_batch(raws[3], dets[..., :4], cfg.k_map)
+    # zero out masks of padding rows (parity with val_test's ragged output)
+    valid = jnp.any(dets[..., :4] != 0.0, axis=-1)
+    masks = masks * valid[..., None, None]
+    return dets, masks
+
+
+def make_jitted_predict(model: DISYolo, obj_thresh: Optional[float] = None):
+    """Compile ``predict`` once; variables passed as an argument so folded /
+    updated weights don't retrigger compilation."""
+
+    @functools.partial(jax.jit, static_argnums=())
+    def _run(variables, images, windows):
+        return predict(model, variables, images, windows, obj_thresh)
+
+    return _run

@@ -1,0 +1,134 @@
+"""DIS-YOLO network: Darknet-53 backbone, 3 YOLOv3 heads, mask decoder.
+
+Architecture parity with the reference ``build_network``
+(yolo3_net_pos.py:153-463): 52 backbone conv_bn layers with skip taps at
+1x .. 1/16 resolution, three detection towers at strides 32/16/8 emitting
+``(5 + C) * 3`` channels, and an FPN-style mask decoder continuing from the
+stride-8 tower down to stride-2 position-sensitive score maps (k^2 = 9
+channels).  Layer modules are named ``convolutional1..82`` so pretrained TF1
+checkpoints map 1:1 (see train_yolo3_mask.py:87-101 scope names).
+
+The module is a pure function of (params, batch_stats); all per-image
+postprocessing (decode / NMS / mask assembly) lives in ``dis_yolo_tpu.ops``
+and is composed by ``dis_yolo_tpu.models.api``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from dis_yolo_tpu.config import DISYoloConfig
+from dis_yolo_tpu.models.layers import ConvBias, ConvBN, upsample2x_nearest
+
+
+class DISYolo(nn.Module):
+    """Returns (raw_s8, raw_s16, raw_s32, scoremaps).
+
+    raw_sN: [B, H/N, W/N, 3, 5+C] raw head outputs (stride N)
+    scoremaps: [B, H/2, W/2, k*k] position-sensitive score maps
+    """
+
+    cfg: DISYoloConfig
+
+    def _cbn(self, idx: int, features: int, kernel: int, stride: int = 1) -> ConvBN:
+        cfg = self.cfg
+        return ConvBN(
+            features=features, kernel=kernel, stride=stride, act=True,
+            alpha=cfg.alpha, lock=idx in cfg.locked_layers,
+            dtype=jnp.dtype(cfg.compute_dtype), param_dtype=jnp.dtype(cfg.param_dtype),
+            name=f"convolutional{idx}",
+        )
+
+    def _cbias(self, idx: int, features: int) -> ConvBias:
+        cfg = self.cfg
+        return ConvBias(
+            features=features, kernel=1, stride=1,
+            dtype=jnp.dtype(cfg.compute_dtype), param_dtype=jnp.dtype(cfg.param_dtype),
+            name=f"convolutional{idx}",
+        )
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray, train: bool = False):
+        cfg = self.cfg
+        a, c = cfg.anchors_per_scale, cfg.num_class
+        x = images.astype(jnp.dtype(cfg.compute_dtype))
+
+        # ---- Darknet-53 backbone (yolo3_net_pos.py:158-254) ----
+        x = self._cbn(1, 32, 3)(x, train)
+        skip1 = x                                     # 1/1, 32ch (unused by s2 decoder)
+        x = self._cbn(2, 64, 3, 2)(x, train)
+        x = x + self._cbn(4, 64, 3)(self._cbn(3, 32, 1)(x, train), train)
+        skip2 = x                                     # 1/2, 64ch
+        x = self._cbn(5, 128, 3, 2)(x, train)
+        x = x + self._cbn(7, 128, 3)(self._cbn(6, 64, 1)(x, train), train)
+        x = x + self._cbn(9, 128, 3)(self._cbn(8, 64, 1)(x, train), train)
+        skip3 = x                                     # 1/4, 128ch
+        x = self._cbn(10, 256, 3, 2)(x, train)
+        for i in range(8):
+            x = x + self._cbn(2 * i + 12, 256, 3)(
+                self._cbn(2 * i + 11, 128, 1)(x, train), train)
+        skip4 = x                                     # 1/8, 256ch
+        x = self._cbn(27, 512, 3, 2)(x, train)
+        for i in range(8):
+            x = x + self._cbn(2 * i + 29, 512, 3)(
+                self._cbn(2 * i + 28, 256, 1)(x, train), train)
+        skip5 = x                                     # 1/16, 512ch
+        x = self._cbn(44, 1024, 3, 2)(x, train)
+        for i in range(4):
+            x = x + self._cbn(2 * i + 46, 1024, 3)(
+                self._cbn(2 * i + 45, 512, 1)(x, train), train)
+
+        # ---- head 1: stride 32, large objects (:257-281) ----
+        x = self._cbn(53, 512, 1)(x, train)
+        x = self._cbn(54, 1024, 3)(x, train)
+        x = self._cbn(55, 512, 1)(x, train)
+        x = self._cbn(56, 1024, 3)(x, train)
+        x = self._cbn(57, 512, 1)(x, train)
+        y1 = self._cbn(58, 1024, 3)(x, train)
+        y1 = self._cbias(59, cfg.output_depth)(y1)
+        b, h, w, _ = y1.shape
+        raw_s32 = y1.reshape(b, h, w, a, 5 + c)
+
+        # ---- head 2: stride 16 (:284-316) ----
+        x = self._cbn(60, 256, 1)(x, train)
+        x = jnp.concatenate([skip5, upsample2x_nearest(x)], axis=-1)
+        x = self._cbn(61, 256, 1)(x, train)
+        x = self._cbn(62, 512, 3)(x, train)
+        x = self._cbn(63, 256, 1)(x, train)
+        x = self._cbn(64, 512, 3)(x, train)
+        x = self._cbn(65, 256, 1)(x, train)
+        y2 = self._cbn(66, 512, 3)(x, train)
+        y2 = self._cbias(67, cfg.output_depth)(y2)
+        b, h, w, _ = y2.shape
+        raw_s16 = y2.reshape(b, h, w, a, 5 + c)
+
+        # ---- head 3: stride 8 (:319-351) ----
+        x = self._cbn(68, 128, 1)(x, train)
+        x = jnp.concatenate([skip4, upsample2x_nearest(x)], axis=-1)
+        x = self._cbn(69, 128, 1)(x, train)
+        x = self._cbn(70, 256, 3)(x, train)
+        x = self._cbn(71, 128, 1)(x, train)
+        x = self._cbn(72, 256, 3)(x, train)
+        x = self._cbn(73, 128, 1)(x, train)
+        y3 = self._cbn(74, 256, 3)(x, train)
+        y3 = self._cbias(75, cfg.output_depth)(y3)
+        b, h, w, _ = y3.shape
+        raw_s8 = y3.reshape(b, h, w, a, 5 + c)
+
+        # ---- mask decoder: stride 8 -> 2, k^2 score maps (:380-412) ----
+        m = self._cbn(76, 64, 1)(x, train)
+        m = jnp.concatenate([skip3, upsample2x_nearest(m)], axis=-1)
+        m = self._cbn(77, 64, 1)(m, train)
+        m = self._cbn(78, 128, 3)(m, train)
+        m = self._cbn(79, 32, 1)(m, train)
+        m = jnp.concatenate([skip2, upsample2x_nearest(m)], axis=-1)
+        m = self._cbn(80, 32, 1)(m, train)
+        m = self._cbn(81, 64, 3)(m, train)
+        scoremaps = self._cbias(82, cfg.num_scoremaps)(m)
+
+        del skip1  # tapped for the commented stride-1 decoder variant only
+        return (raw_s8.astype(jnp.float32), raw_s16.astype(jnp.float32),
+                raw_s32.astype(jnp.float32), scoremaps.astype(jnp.float32))

@@ -1,0 +1,97 @@
+"""Fused conv/BN/leaky-ReLU building blocks (Flax linen).
+
+Parity targets in the reference:
+  * ``conv``        — yolo3_net_pos.py:109-130 (Xavier init, optional bias,
+                      optional leaky-ReLU, L2 1e-4 on weights+biases)
+  * ``batch_norm``  — yolo3_net_pos.py:71-107 (decay .997, eps 1e-5; locked
+                      layers always normalize with moving statistics)
+  * ``conv_bn``     — yolo3_net_pos.py:132-146
+  * ``res_conv_bn`` — yolo3_net_pos.py:148-151 (residual add)
+
+The reference's ``lock=True`` transfer-learning freeze (non-trainable vars +
+pure-inference BN) maps here to (a) ``use_running_average=True`` regardless
+of train mode and (b) a gradient mask in the optimizer
+(``dis_yolo_tpu/train/solver.py``).  XLA fuses conv+BN+LeakyReLU into a
+single MXU kernel; at inference we additionally fold BN into the conv
+weights (``dis_yolo_tpu/models/fold.py``) so the deploy path is conv+bias
+only.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+BN_MOMENTUM = 0.997
+BN_EPS = 1e-5
+
+
+def leaky_relu(x: jnp.ndarray, alpha: float) -> jnp.ndarray:
+    return jnp.maximum(alpha * x, x)
+
+
+class ConvBN(nn.Module):
+    """3x3/1x1 conv (no bias) + BatchNorm + optional leaky-ReLU."""
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    act: bool = True
+    alpha: float = 0.1
+    lock: bool = False
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x = nn.Conv(
+            self.features, (self.kernel, self.kernel),
+            strides=(self.stride, self.stride), padding="SAME", use_bias=False,
+            kernel_init=nn.initializers.xavier_uniform(),
+            dtype=self.dtype, param_dtype=self.param_dtype, name="conv",
+        )(x)
+        # BN statistics/affine in float32 for stability; locked layers use
+        # moving statistics even in training (reference lock branch :77-81).
+        x = nn.BatchNorm(
+            use_running_average=(not train) or self.lock,
+            momentum=BN_MOMENTUM, epsilon=BN_EPS,
+            dtype=jnp.float32, param_dtype=jnp.float32, name="bn",
+        )(x.astype(jnp.float32))
+        x = x.astype(self.dtype)
+        if self.act:
+            x = leaky_relu(x, self.alpha)
+        return x
+
+
+class ConvBias(nn.Module):
+    """1x1 head conv with bias, no BN, no activation (layers 59/67/75/82)."""
+
+    features: int
+    kernel: int = 1
+    stride: int = 1
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return nn.Conv(
+            self.features, (self.kernel, self.kernel),
+            strides=(self.stride, self.stride), padding="SAME", use_bias=True,
+            kernel_init=nn.initializers.xavier_uniform(),
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype, param_dtype=self.param_dtype, name="conv",
+        )(x)
+
+
+def upsample2x_nearest(x: jnp.ndarray) -> jnp.ndarray:
+    """Nearest-neighbor 2x upsample (tf.image.resize_nearest_neighbor parity).
+
+    Implemented as reshape+broadcast (pure layout ops, cheaper than a
+    gather-based resize and exactly equivalent for integer factors).
+    """
+    b, h, w, c = x.shape
+    x = x[:, :, None, :, None, :]
+    x = jnp.broadcast_to(x, (b, h, 2, w, 2, c))
+    return x.reshape(b, 2 * h, 2 * w, c)

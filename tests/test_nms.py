@@ -1,0 +1,112 @@
+"""Detection-filter + NMS behavior tests (vs a numpy greedy reference)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dis_yolo_tpu.config import DISYoloConfig
+from dis_yolo_tpu.ops import nms
+from tests.test_boxes_decode import np_iou_matrix
+
+
+def np_per_class_nms(boxes, scores, classids, thresh, iou_thresh, max_det):
+    """Reference behavior: threshold, per-class greedy NMS, global top-k."""
+    order = np.argsort(-scores, kind="stable")
+    keep = []
+    for i in order:
+        if scores[i] <= thresh:
+            continue
+        ok = True
+        for j in keep:
+            if classids[j] == classids[i]:
+                iou = np_iou_matrix(boxes[i:i + 1], boxes[j:j + 1])[0, 0]
+                if iou > iou_thresh:
+                    ok = False
+                    break
+        if ok:
+            keep.append(i)
+    keep = keep[:max_det]
+    out = np.zeros((max_det, 6), np.float32)
+    for r, i in enumerate(keep):
+        out[r] = [*boxes[i], classids[i], scores[i]]
+    return out
+
+
+def _run_single(cfg, boxes_yxyx, scores, classids, window=None):
+    """Drive filter_detections_single with synthetic flat candidates."""
+    n = len(scores)
+    c = cfg.num_class
+    # build class_prob whose argmax/max match classids/1.0, conf = scores
+    prob = np.full((n, c), 1e-6, np.float32)
+    prob[np.arange(n), classids] = 1.0
+    # convert yxyx -> cxcywh expected by the op
+    y1, x1, y2, x2 = boxes_yxyx.T
+    cxcywh = np.stack([(x1 + x2) / 2, (y1 + y2) / 2, x2 - x1, y2 - y1], axis=1)
+    win = np.array([0., 0., 1., 1.], np.float32) if window is None else window
+    det = nms.filter_detections_single(
+        jnp.asarray(scores), jnp.asarray(prob), jnp.asarray(cxcywh),
+        jnp.asarray(win), cfg, cfg.obj_threshold)
+    return np.asarray(det)
+
+
+def test_greedy_class_nms_matches_numpy(small_cfg, rng):
+    cfg = small_cfg
+    for trial in range(5):
+        n = 40
+        boxes = rng.uniform(0, 1, (n, 4)).astype(np.float32)
+        boxes[:, 2:] = np.minimum(boxes[:, :2] + np.abs(boxes[:, 2:] - boxes[:, :2]) * 0.5 + 0.05, 1.0)
+        scores = rng.uniform(0, 1, n).astype(np.float32)
+        classids = rng.randint(0, cfg.num_class, n)
+        got = _run_single(cfg, boxes, scores, classids)
+        want = np_per_class_nms(boxes, scores, classids,
+                                cfg.obj_threshold, cfg.iou_threshold,
+                                cfg.max_detection)
+        # compare the kept (classid, score) multisets and box values
+        np.testing.assert_allclose(got[:, 5], want[:, 5], rtol=1e-5, atol=1e-6,
+                                   err_msg=f"trial {trial} scores")
+        np.testing.assert_allclose(got[:, :4], want[:, :4], rtol=1e-5, atol=1e-6)
+        np.testing.assert_array_equal(got[:, 4], want[:, 4])
+
+
+def test_threshold_is_strict(small_cfg):
+    cfg = small_cfg
+    boxes = np.array([[0.1, 0.1, 0.4, 0.4], [0.6, 0.6, 0.9, 0.9]], np.float32)
+    scores = np.array([cfg.obj_threshold, cfg.obj_threshold + 1e-3], np.float32)
+    got = _run_single(cfg, boxes, scores, np.array([0, 1]))
+    assert (got[:, 5] > 0).sum() == 1  # only the strictly-greater one
+
+
+def test_window_clipping(small_cfg):
+    cfg = small_cfg
+    boxes = np.array([[0.0, 0.0, 1.0, 1.0]], np.float32)
+    scores = np.array([0.9], np.float32)
+    window = np.array([0.1, 0.2, 0.8, 0.9], np.float32)
+    got = _run_single(cfg, boxes, scores, np.array([0]), window)
+    np.testing.assert_allclose(got[0, :4], window, rtol=1e-6)
+
+
+def test_cross_class_no_suppression(small_cfg):
+    """Identical boxes of different classes both survive (per-class NMS)."""
+    cfg = small_cfg
+    boxes = np.array([[0.2, 0.2, 0.7, 0.7], [0.2, 0.2, 0.7, 0.7]], np.float32)
+    scores = np.array([0.9, 0.8], np.float32)
+    got = _run_single(cfg, boxes, scores, np.array([0, 1]))
+    assert (got[:, 5] > 0).sum() == 2
+
+
+def test_batched_output_shape(small_cfg, rng):
+    cfg = small_cfg
+    from dis_yolo_tpu.ops.decode import decode_all
+    g = cfg.base_grid
+    raws = [jnp.asarray(rng.randn(2, s, s, 3, 5 + cfg.num_class).astype(np.float32))
+            for s in (4 * g, 2 * g, g)]
+    preds = decode_all(raws, cfg)
+    wins = jnp.tile(jnp.asarray([0., 0., 1., 1.]), (2, 1))
+    dets = nms.filter_detections(preds, wins, cfg)
+    assert dets.shape == (2, cfg.max_detection, 6)
+    d = np.asarray(dets)
+    valid = d[..., 5] > 0
+    # scores sorted descending within each image
+    for b in range(2):
+        s = d[b, valid[b], 5]
+        assert np.all(np.diff(s) <= 1e-6)
