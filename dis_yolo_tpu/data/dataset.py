@@ -1,0 +1,364 @@
+"""Training data pipeline: labels, rasterization cache, augmentation,
+anchor assignment, batched prefetch.
+
+Behavioral port of ``defect_train`` (train_data.py) with TPU-minded fixes:
+
+  * polygon rasterization is *cached* (bit-packed) instead of being redone
+    from scratch every epoch (train_data.py:79)
+  * the anchor best-IoU assignment is vectorized over the 9 anchors
+    (:149-180), keeping the occupied-cell skip semantics
+  * flip label-grid fixups are vectorized (no triple Python loops, :198-236)
+  * a background thread prefetches batches so the TPU never waits on cv2
+
+Batch layout (the reference 7-tuple, train_data.py:276):
+  images     [B, S, S, 3] float32 (/255)
+  true_masks [B, T, S, S] bool
+  true_boxes [B, 1, 1, 1, T, 5]  normalized (xc, yc, w, h, classid)
+  labels_s8  [B, 4g, 4g, A, 5+C]  (the reference's yolo_3)
+  labels_s16 [B, 2g, 2g, A, 5+C]  (yolo_2)
+  labels_s32 [B,  g,  g, A, 5+C]  (yolo_1)
+  windows    [B, 4] = (0, 0, 1, 1) during training
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import queue
+import threading
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from dis_yolo_tpu.config import DISYoloConfig
+from dis_yolo_tpu.data import augment, rasterize
+
+try:
+    import cv2
+except Exception:  # pragma: no cover
+    cv2 = None
+
+
+# --------------------------------------------------------------------------
+# label loading
+# --------------------------------------------------------------------------
+
+def load_labels(cfg: DISYoloConfig, phase: str) -> List[Dict]:
+    """gt_labels list [{'imname', 'class_names', 'polygons'}, ...].
+
+    Mirrors defect_train.load_labels (train_data.py:278-319) including the
+    derived-cache pickle.
+    """
+    split_dir = cfg.data_path(phase)
+    cache_dir = os.path.join(split_dir, "cache")
+    derived = os.path.join(cache_dir, f"gt_labels_{phase}.pkl")
+    if os.path.isfile(derived):
+        with open(derived, "rb") as f:
+            return pickle.load(f)
+
+    with open(os.path.join(cache_dir, "ground_truth_cache.pkl"), "rb") as f:
+        annotations = pickle.load(f)
+    annotations = [a for a in annotations if a["regions"]]
+
+    with open(os.path.join(cache_dir, f"{phase}.txt")) as f:
+        index = [x.strip() for x in f.readlines()]
+    assert len(index) == len(annotations)
+
+    gt_labels = []
+    for i, stem in enumerate(index):
+        a = annotations[i]
+        assert os.path.splitext(a["filename"])[0] == stem
+        regions = a["regions"]
+        polygons = [r["shape_attributes"] for r in regions.values()]
+        class_names = [r["region_attributes"] for r in regions.values()]
+        gt_labels.append({
+            "imname": os.path.join(split_dir, "images", a["filename"]),
+            "class_names": class_names,
+            "polygons": polygons,
+        })
+    os.makedirs(cache_dir, exist_ok=True)
+    with open(derived, "wb") as f:
+        pickle.dump(gt_labels, f)
+    return gt_labels
+
+
+# --------------------------------------------------------------------------
+# rasterization cache
+# --------------------------------------------------------------------------
+
+class MaskCache:
+    """LRU of bit-packed rasterized instance masks keyed by image name."""
+
+    def __init__(self, capacity: int = 512):
+        self.capacity = capacity
+        self._store: Dict[str, Tuple] = {}
+        self._order: List[str] = []
+        self._lock = threading.Lock()
+
+    def get(self, key: str):
+        with self._lock:
+            if key in self._store:
+                self._order.remove(key)
+                self._order.append(key)
+                packed, shape, n = self._store[key]
+                masks = np.unpackbits(packed, count=n * shape[0] * shape[1])
+                return masks.reshape(n, *shape).astype(bool)
+            return None
+
+    def put(self, key: str, masks: np.ndarray):
+        with self._lock:
+            packed = np.packbits(masks.astype(np.uint8))
+            self._store[key] = (packed, masks.shape[1:], masks.shape[0])
+            self._order.append(key)
+            if len(self._order) > self.capacity:
+                evict = self._order.pop(0)
+                del self._store[evict]
+
+
+# --------------------------------------------------------------------------
+# anchor assignment
+# --------------------------------------------------------------------------
+
+def assign_anchors(boxes_px: np.ndarray, classids: np.ndarray,
+                   cfg: DISYoloConfig) -> List[np.ndarray]:
+    """Fill the 3 label grids for one image.
+
+    boxes_px: [N, 4] (xc, yc, w, h) in net pixels; classids [N].
+    Returns [labels_s8 (4g), labels_s16 (2g), labels_s32 (g)] — same order
+    as the reference's ``yolos`` list indexed by best_anchor//3
+    (train_data.py:63, :169).  Keeps the occupied-cell skip and the
+    "no anchor iou>0" drop.
+    """
+    g, a, c = cfg.base_grid, cfg.anchors_per_scale, cfg.num_class
+    net = float(cfg.image_size)
+    anchors = cfg.anchors_array()                                   # [9,2]
+    grids = [np.zeros((m, m, a, 5 + c), np.float32) for m in (4 * g, 2 * g, g)]
+
+    if len(boxes_px) == 0:
+        return grids
+    wh = boxes_px[:, 2:4]                                           # [N,2]
+    inter = (np.minimum(wh[:, None, 0], anchors[None, :, 0])
+             * np.minimum(wh[:, None, 1], anchors[None, :, 1]))     # [N,9]
+    union = wh[:, 0:1] * wh[:, 1:2] + anchors[:, 0] * anchors[:, 1] - inter
+    iou = inter / union
+    best = np.argmax(iou, axis=1)
+    best_iou = iou[np.arange(len(boxes_px)), best]
+
+    for n in range(len(boxes_px)):
+        if best_iou[n] <= 0:
+            print("No anchor has iou > 0 for this ground-truth box")
+            continue
+        scale = best[n] // a
+        ai = best[n] % a
+        grid = grids[scale]
+        m = grid.shape[0]
+        x_ind = int(boxes_px[n, 0] * m / net)
+        y_ind = int(boxes_px[n, 1] * m / net)
+        if grid[y_ind, x_ind, ai, 4] == 1:                          # occupied
+            continue
+        grid[y_ind, x_ind, ai, 0:4] = boxes_px[n, :4]
+        grid[y_ind, x_ind, ai, 4] = 1.0
+        grid[y_ind, x_ind, ai, 5 + int(classids[n])] = 1.0
+    return grids
+
+
+def _flip_grid(grid: np.ndarray, axis: int, net: float) -> np.ndarray:
+    """Flip a label grid and fix the flipped center coordinate (pixels)."""
+    grid = grid[::-1, :, :, :] if axis == 0 else grid[:, ::-1, :, :]
+    grid = grid.copy()
+    coord = 1 if axis == 0 else 0     # cy for vertical flip, cx for horizontal
+    obj = grid[..., 4] == 1
+    grid[..., coord] = np.where(obj, net - 1 - grid[..., coord], grid[..., coord])
+    return grid
+
+
+# --------------------------------------------------------------------------
+# the loader
+# --------------------------------------------------------------------------
+
+class DefectTrainData:
+    """Epoch-shuffled batched training loader with background prefetch."""
+
+    def __init__(self, cfg: DISYoloConfig, phase: str = "train",
+                 seed: int = 0, prefetch: int = 2,
+                 labels: Optional[List[Dict]] = None):
+        self.cfg = cfg
+        self.phase = phase
+        self.rng = np.random.RandomState(seed)
+        self.gt_labels = labels if labels is not None else load_labels(cfg, phase)
+        self.order = self.rng.permutation(len(self.gt_labels))
+        self.cursor = 0
+        self.epoch = 1
+        self.mask_cache = MaskCache()
+        self._image_cache: Dict[str, np.ndarray] = {}
+        self._queue: "queue.Queue" = queue.Queue(maxsize=prefetch)
+        self._thread: Optional[threading.Thread] = None
+        self._stop = threading.Event()
+
+    # ---- raw example assembly ------------------------------------------
+
+    def _load_image(self, imname: str) -> np.ndarray:
+        img = cv2.imread(imname)
+        if img is None:
+            raise FileNotFoundError(imname)
+        return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+
+    def _load_masks(self, label: Dict, h: int, w: int) -> np.ndarray:
+        # key on the label entry itself, not the image name: distinct label
+        # records may point at the same image file
+        key = f"{id(label)}:{label['imname']}"
+        cached = self.mask_cache.get(key)
+        if cached is not None and cached.shape[1:] == (h, w):
+            return cached
+        polys = label["polygons"][: self.cfg.max_box_per_image]
+        masks = rasterize.instance_masks(polys, h, w, len(polys))
+        self.mask_cache.put(key, masks)
+        return masks
+
+    def _example(self) -> Dict[str, np.ndarray]:
+        cfg = self.cfg
+        net = cfg.image_size
+        t = cfg.max_box_per_image
+        c2i = cfg.class_to_ind()
+
+        label = self.gt_labels[self.order[self.cursor]]
+        self.cursor += 1
+        if self.cursor >= len(self.gt_labels):
+            self.cursor = 0
+            self.epoch += 1
+            self.order = self.rng.permutation(len(self.gt_labels))
+
+        image = self._load_image(label["imname"])
+        ih, iw = image.shape[:2]
+        class_names = label["class_names"][:t]
+        if len(label["polygons"]) > t:
+            print(f"More than {t} instances in {label['imname']}")
+
+        masks = self._load_masks(label, ih, iw)                   # [N,ih,iw]
+        boxes, keep = [], []
+        for i in range(masks.shape[0]):
+            bb = rasterize.mask_to_box(masks[i])
+            if bb is None:
+                continue
+            boxes.append(bb)
+            keep.append(i)
+        boxes = np.asarray(boxes, np.float32).reshape(-1, 4)       # x1y1x2y2 px
+        classids = np.asarray([c2i[class_names[i]] for i in keep], np.int64)
+        masks = masks[keep]
+
+        # ---- aug 1: random scale/crop, rejected if any box gets cut ----
+        sc, new_w, new_h, dx, dy = augment.sample_scale_crop(
+            self.rng, iw, ih, net, net)
+        if sc == 2 and len(boxes):
+            sx, sy = new_w / iw, new_h / ih
+            x1 = boxes[:, 0] * sx + dx
+            y1 = boxes[:, 1] * sy + dy
+            x2 = boxes[:, 2] * sx + dx
+            y2 = boxes[:, 3] * sy + dy
+            if (x1.min() < 0 or y1.min() < 0 or
+                    x2.max() >= net or y2.max() >= net):
+                sc = 1
+                new_w, new_h, dx, dy = augment.identity_placement(iw, ih, net, net)
+        sx, sy = new_w / iw, new_h / ih
+
+        # boxes -> clamped (cx, cy, w, h) in net pixels (train_data.py:135-147)
+        tb = np.zeros((t, 5), np.float32)
+        boxes_net = np.zeros((len(boxes), 4), np.float32)
+        for n in range(len(boxes)):
+            x1 = max(min(boxes[n, 0] * sx + dx, net - 1), 0)
+            y1 = max(min(boxes[n, 1] * sy + dy, net - 1), 0)
+            x2 = max(min(boxes[n, 2] * sx + dx, net - 1), 0)
+            y2 = max(min(boxes[n, 3] * sy + dy, net - 1), 0)
+            boxes_net[n] = [(x1 + x2) / 2, (y1 + y2) / 2, x2 - x1, y2 - y1]
+            tb[n, :4] = boxes_net[n]
+            tb[n, 4] = classids[n]
+
+        grids = assign_anchors(boxes_net, classids, self.cfg)
+
+        # ---- aug 2: random h/v flip (train_data.py:189-236) ----
+        flip = self.rng.randint(1, 4) if cfg.flipped else 1
+        if flip == 2:     # horizontal
+            tb[: len(boxes), 0] = net - 1 - tb[: len(boxes), 0]
+            grids = [_flip_grid(g, 1, net) for g in grids]
+        elif flip == 3:   # vertical
+            tb[: len(boxes), 1] = net - 1 - tb[: len(boxes), 1]
+            grids = [_flip_grid(g, 0, net) for g in grids]
+
+        # ---- aug 3: photometric (code-order dispatch, :393-401) ----
+        bnl = self.rng.randint(1, 5) if cfg.blur_noise_light else 1
+
+        img_net = augment.place_and_pad(image, new_w, new_h, dx, dy,
+                                        net, net, pad_value=127)
+        if flip == 2:
+            img_net = img_net[:, ::-1, :]
+        elif flip == 3:
+            img_net = img_net[::-1, :, :]
+        img_net = augment.apply_photometric(
+            np.ascontiguousarray(img_net).astype(np.uint8), bnl, self.rng)
+        img_net = img_net.astype(np.float32) / 255.0
+
+        # ---- masks -> net canvas, flipped, padded to T ----
+        out_masks = np.zeros((t, net, net), bool)
+        for slot, i in enumerate(range(len(boxes))):
+            m = augment.place_and_pad(masks[i].astype(np.float32),
+                                      new_w, new_h, dx, dy, net, net, 0.0)
+            if flip == 2:
+                m = m[:, ::-1, :]
+            elif flip == 3:
+                m = m[::-1, :, :]
+            out_masks[slot] = np.around(m[:, :, 0]).astype(bool)
+
+        # ---- normalize coordinates (/net, train_data.py:258-261) ----
+        tb[:, :4] /= net
+        for g in grids:
+            g[..., 0:4] /= net
+
+        return dict(image=img_net, true_masks=out_masks,
+                    true_box=tb, grids=grids)
+
+    # ---- batching + prefetch ------------------------------------------
+
+    def _make_batch(self) -> Dict[str, np.ndarray]:
+        cfg = self.cfg
+        b = cfg.batch_size
+        exs = [self._example() for _ in range(b)]
+        batch = dict(
+            images=np.stack([e["image"] for e in exs]).astype(np.float32),
+            true_masks=np.stack([e["true_masks"] for e in exs]),
+            true_boxes=np.stack([e["true_box"] for e in exs])[:, None, None, None],
+            labels_s8=np.stack([e["grids"][0] for e in exs]),
+            labels_s16=np.stack([e["grids"][1] for e in exs]),
+            labels_s32=np.stack([e["grids"][2] for e in exs]),
+            windows=np.tile(np.asarray([0., 0., 1., 1.], np.float32), (b, 1)),
+        )
+        return batch
+
+    def get(self) -> Dict[str, np.ndarray]:
+        """Next batch (synchronous)."""
+        return self._make_batch()
+
+    def start_prefetch(self):
+        if self._thread is not None:
+            return
+
+        def worker():
+            while not self._stop.is_set():
+                batch = self._make_batch()
+                while not self._stop.is_set():
+                    try:
+                        self._queue.put(batch, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
+
+        self._thread = threading.Thread(target=worker, daemon=True)
+        self._thread.start()
+
+    def next_prefetched(self) -> Dict[str, np.ndarray]:
+        if self._thread is None:
+            return self.get()
+        return self._queue.get()
+
+    def stop(self):
+        self._stop.set()
+        self._thread = None
