@@ -1,0 +1,176 @@
+"""Command-line interface: preprocess / train / eval / bench / convert-tf1.
+
+The reference has no CLI flags at all (scripts edited by hand +
+``cfg.BATCH_SIZE = 1`` runtime mutation, calculate_test_map.py:354); this
+argparse front-end exposes the same workflows as subcommands.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _add_common(p):
+    p.add_argument("--dataset", default="data", help="dataset root directory")
+    p.add_argument("--output-dir", default="output")
+    p.add_argument("--image-size", type=int, default=576)
+    p.add_argument("--batch-size", type=int, default=2)
+    p.add_argument("--seed", type=int, default=0)
+
+
+def _make_cfg(args, **overrides):
+    from dis_yolo_tpu.config import DISYoloConfig
+    kw = dict(dataset=args.dataset, output_dir=args.output_dir,
+              image_size=args.image_size, test_size=args.image_size,
+              batch_size=args.batch_size)
+    kw.update(overrides)
+    return DISYoloConfig(**kw)
+
+
+def cmd_preprocess(args):
+    from dis_yolo_tpu.data.preprocess import build_ground_truth_cache
+    annos = build_ground_truth_cache(args.dataset, args.phase, force=args.force)
+    print(f"{args.phase}: {len(annos)} annotated images cached")
+
+
+def cmd_synth(args):
+    from dis_yolo_tpu.data.preprocess import build_ground_truth_cache
+    from dis_yolo_tpu.data.synthetic import generate_dataset
+    generate_dataset(args.dataset, images_per_phase=args.images,
+                     image_size=args.size, seed=args.seed)
+    for phase in ("train", "val", "test"):
+        build_ground_truth_cache(args.dataset, phase)
+    print(f"synthetic dataset at {args.dataset}")
+
+
+def cmd_train(args):
+    from dis_yolo_tpu.data.val_data import DefectValData
+    from dis_yolo_tpu.eval.map_eval import Evaluator
+    from dis_yolo_tpu.parallel.sharding import make_mesh
+    from dis_yolo_tpu.train.solver import Solver
+
+    locked = tuple(range(1, 53)) if args.stage == 1 else ()
+    cfg = _make_cfg(args, locked_layers=locked, max_iter=args.max_iter,
+                    save_iter=args.save_iter, summary_iter=args.summary_iter)
+    mesh = make_mesh() if args.data_parallel else None
+    evaluator = val = None
+    if not args.no_validation:
+        evaluator = Evaluator(cfg, "val")
+        val = DefectValData(cfg, "val")
+    solver = Solver(cfg, evaluator=evaluator, val_data=val, mesh=mesh,
+                    seed=args.seed, restore=args.restore,
+                    tf1_weights=args.tf1_weights)
+    solver.train()
+
+
+def cmd_eval(args):
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from dis_yolo_tpu.data.val_data import DefectValData
+    from dis_yolo_tpu.eval.map_eval import Evaluator
+    from dis_yolo_tpu.models import api
+    from dis_yolo_tpu.train import checkpoint as ckpt
+    from dis_yolo_tpu.train import train_step as ts
+
+    cfg = _make_cfg(args)
+    model = api.create_model(cfg)
+    variables = api.init_variables(cfg, jax.random.PRNGKey(0))
+    if args.checkpoint:
+        tx = ts.make_optimizer(variables["params"], cfg)
+        state = ts.TrainState(variables["params"], variables["batch_stats"],
+                              tx.init(variables["params"]), jnp.asarray(0))
+        state = ckpt.restore_checkpoint(args.checkpoint, state)
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    evaluator = Evaluator(cfg, args.phase, with_semantic=True)
+    val = DefectValData(cfg, args.phase)
+    images, names, windows = val.get()
+    run = api.make_jitted_predict(model)
+
+    import time
+    detdata, t_pred = [], 0.0
+    b = cfg.batch_size
+    for v in range(0, len(names), b):
+        imgs, wins = images[v:v + b], windows[v:v + b]
+        pad = b - imgs.shape[0]
+        if pad:
+            imgs = np.concatenate([imgs, np.zeros((pad,) + imgs.shape[1:],
+                                                  imgs.dtype)])
+            wins = np.concatenate([wins, np.tile([0., 0., 1., 1.], (pad, 1))
+                                  .astype(np.float32)])
+        t0 = time.time()
+        dets, masks = run(variables, jnp.asarray(imgs), jnp.asarray(wins))
+        dets, masks = np.asarray(dets), np.asarray(masks)
+        if v > 0:  # skip compile step in the timing
+            t_pred += time.time() - t0
+        for i in range(min(b, len(names) - v)):
+            detdata.append({"imname": names[v + i], "boxes": dets[i],
+                            "masks": masks[i]})
+    res = evaluator.evaluate_detections(detdata, collect_semantic=True)
+    miou = evaluator.miou(res.pop("semantic_maps"))
+    n_timed = max(len(names) - b, 1)
+    print(json.dumps({"AP": res["AP"], "mAP": res["mAP"],
+                      "recall": res["recall"], "precision": res["precision"],
+                      "iou": miou["iou"], "miou": miou["miou"],
+                      "s_per_image": t_pred / n_timed}))
+
+
+def cmd_convert_tf1(args):
+    import numpy as np
+    from dis_yolo_tpu.train.checkpoint import convert_tf1_checkpoint
+    values = convert_tf1_checkpoint(args.ckpt)
+    np.save(args.out, values, allow_pickle=True)
+    print(f"saved {len(values)} tensors to {args.out}")
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="dis_yolo_tpu")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("preprocess", help="build the GT cache for a split")
+    _add_common(p)
+    p.add_argument("--phase", default="train", choices=["train", "val", "test"])
+    p.add_argument("--force", action="store_true")
+    p.set_defaults(fn=cmd_preprocess)
+
+    p = sub.add_parser("synth", help="generate a synthetic demo dataset")
+    _add_common(p)
+    p.add_argument("--images", type=int, default=8)
+    p.add_argument("--size", type=int, default=320)
+    p.set_defaults(fn=cmd_synth)
+
+    p = sub.add_parser("train", help="train DIS-YOLO")
+    _add_common(p)
+    p.add_argument("--stage", type=int, default=1, choices=[1, 2],
+                   help="1: heads only (backbone locked); 2: all layers")
+    p.add_argument("--max-iter", type=int, default=10000)
+    p.add_argument("--save-iter", type=int, default=500)
+    p.add_argument("--summary-iter", type=int, default=50)
+    p.add_argument("--restore", default=None, help="Orbax checkpoint to resume")
+    p.add_argument("--tf1-weights", default=None,
+                   help="converted TF1 weights (.npy) for stage-1 restore")
+    p.add_argument("--data-parallel", action="store_true",
+                   help="shard batch over all local devices")
+    p.add_argument("--no-validation", action="store_true")
+    p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("eval", help="mask mAP@0.5 + mIoU on a split")
+    _add_common(p)
+    p.add_argument("--phase", default="test", choices=["val", "test"])
+    p.add_argument("--checkpoint", default=None)
+    p.set_defaults(fn=cmd_eval)
+
+    p = sub.add_parser("convert-tf1", help="TF1 .ckpt -> .npy weight dict")
+    p.add_argument("--ckpt", required=True)
+    p.add_argument("--out", required=True)
+    p.set_defaults(fn=cmd_convert_tf1)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,154 @@
+"""Dataset-level evaluation: mask mAP@0.5 + 4-class mIoU.
+
+Combines the behaviors of utils/validation_map.py (``MAP``) and
+calculate_test_map.py's test-path ``MAP`` variant + ``evaluate``:
+
+  * ground truth: rasterized instance masks per image (cached) and, for the
+    test path, a merged semantic map (classes painted 1..3 in region order)
+  * ``evaluate_detections``: network outputs -> original-size masks ->
+    per-class VOC AP -> mAP (validation_map.py:104-198)
+  * ``miou``: pixel confusion totals over {bg, crack, spall, rebar} ->
+    per-class IoU + mean (calculate_test_map.py:304-345)
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from dis_yolo_tpu.config import DISYoloConfig
+from dis_yolo_tpu.data import rasterize
+from dis_yolo_tpu.eval.postprocess import detections_to_original
+from dis_yolo_tpu.eval.voc_eval import voc_eval
+
+
+class Evaluator:
+    """Holds rasterized GT for one split and scores detection sets."""
+
+    def __init__(self, cfg: DISYoloConfig, phase: str = "val",
+                 with_semantic: bool = False, annotations=None,
+                 index: Optional[List[str]] = None, use_cache: bool = True):
+        self.cfg = cfg
+        self.phase = phase
+        self.with_semantic = with_semantic
+        self.class_to_ind = cfg.class_to_ind()
+        if annotations is None:
+            annotations, index = self._load_annotations(use_cache)
+        self.index = list(index)
+        (self.gt_masks, self.gt_semantic, self.gt_sizes) = \
+            self._rasterize_groundtruth(annotations)
+
+    # ------------------------------------------------------------------
+    def _load_annotations(self, use_cache: bool):
+        split_dir = self.cfg.data_path(self.phase)
+        cache_dir = os.path.join(split_dir, "cache")
+        with open(os.path.join(cache_dir, "ground_truth_cache.pkl"), "rb") as f:
+            annotations = pickle.load(f)
+        annotations = [a for a in annotations if a["regions"]]
+        with open(os.path.join(cache_dir, f"{self.phase}.txt")) as f:
+            index = [x.strip() for x in f.readlines()]
+        assert len(index) == len(annotations)
+        return annotations, index
+
+    def _rasterize_groundtruth(self, annotations):
+        gt_masks: Dict[str, List[Dict]] = {}
+        gt_semantic: Dict[str, np.ndarray] = {}
+        gt_sizes: Dict[str, Tuple[int, int]] = {}
+        for stem, a in zip(self.index, annotations):
+            assert os.path.splitext(a["filename"])[0] == stem
+            h, w = a["size"]
+            regions = list(a["regions"].values())
+            merged = np.zeros((h, w), np.uint8) if self.with_semantic else None
+            labels = []
+            for r in regions:
+                mask = rasterize.instance_mask(r["shape_attributes"], h, w)
+                if not mask.any():
+                    continue
+                cid = self.class_to_ind[r["region_attributes"]]
+                labels.append({"imageid": stem, "classid": cid,
+                               "difficult": 0, "mask": mask})
+                if merged is not None:
+                    merged[mask] = cid + 1
+            gt_masks[stem] = labels
+            if merged is not None:
+                gt_semantic[stem] = merged
+            gt_sizes[stem] = (h, w)
+        return gt_masks, gt_semantic, gt_sizes
+
+    # ------------------------------------------------------------------
+    def evaluate_detections(self, detdata: List[Dict],
+                            collect_semantic: bool = False):
+        """Score a full detection sweep.
+
+        detdata: [{'imname', 'boxes' [D,6], 'masks' [D,S,S]}] aligned with
+        ``self.index``.  Returns {'AP': [c], 'mAP', 'recall', 'precision'}
+        (validation_map.py:172-196) plus per-image semantic maps when
+        requested (for mIoU).
+        """
+        assert len(detdata) == len(self.index)
+        per_class: Dict[int, List[Dict]] = {c: [] for c in
+                                            range(self.cfg.num_class)}
+        semantic_maps: Dict[str, np.ndarray] = {}
+        for i, det in enumerate(detdata):
+            stem = det["imname"]
+            assert stem == self.index[i]
+            h, w = self.gt_sizes[stem]
+            merged = np.zeros((h, w), np.uint8) if collect_semantic else None
+            if np.sum(det["masks"]) != 0.0:
+                insts = detections_to_original(
+                    np.asarray(det["boxes"]), np.asarray(det["masks"]),
+                    h, w, self.cfg.test_size, merged)
+                for inst in insts:
+                    per_class[inst["classid"]].append(
+                        {"imageid": stem, "score": inst["score"],
+                         "mask": inst["mask"]})
+            if merged is not None:
+                semantic_maps[stem] = merged
+
+        aps, recalls, precisions = [], [], []
+        for c in range(self.cfg.num_class):
+            if not per_class[c]:
+                recalls.append(0.0)
+                precisions.append(0.0)
+                aps.append(0.0)
+                continue
+            r, p, ap = voc_eval(per_class[c], self.gt_masks, self.index, c,
+                                ovthresh=0.5, use_07_metric=False)
+            recalls.append(r)
+            precisions.append(p)
+            aps.append(ap)
+
+        result = {"AP": aps, "mAP": float(np.mean(aps)),
+                  "recall": float(np.mean(recalls)),
+                  "precision": float(np.mean(precisions))}
+        if collect_semantic:
+            result["semantic_maps"] = semantic_maps
+        return result
+
+    # ------------------------------------------------------------------
+    def miou(self, pred_semantic: Dict[str, np.ndarray]):
+        """4-class (incl. background) pixel IoU + mIoU.
+
+        Confusion-total formulation identical to calculate_test_map.py:
+        304-345 (note the reference's union = col_sum + row_sum - diag).
+        """
+        assert self.with_semantic, "Evaluator(with_semantic=True) required"
+        n = self.cfg.num_class + 1
+        conf = np.zeros((n, n), np.int64)     # conf[true, pred]
+        for stem in self.index:
+            t = self.gt_semantic[stem]
+            p = pred_semantic[stem]
+            assert t.shape == p.shape
+            for ti in range(n):
+                tm = t == ti
+                for pi in range(n):
+                    conf[ti, pi] += int(np.sum(tm & (p == pi)))
+        ious = []
+        for c in range(n):
+            inter = conf[c, c]
+            union = conf[:, c].sum() + conf[c, :].sum() - inter
+            ious.append(inter / union if union > 0 else 0.0)
+        return {"iou": [float(x) for x in ious], "miou": float(np.mean(ious))}

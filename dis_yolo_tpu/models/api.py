@@ -54,9 +54,15 @@ def predict(model: DISYolo, variables: Dict[str, Any], images: jnp.ndarray,
     raws = forward(model, variables, images, train=False)
     preds = decode_all(raws[:3], cfg)
     dets = nms.filter_detections(preds, windows, cfg, obj_thresh)
+    # drop degenerate boxes whose rounded score-map extent is non-positive
+    # (val_test's keep_ix, yolo3_net_pos.py:876-880)
+    s = raws[3].shape[1]
+    boxes_px = jnp.round(dets[..., :4] * s)
+    nondegenerate = ((boxes_px[..., 2] - boxes_px[..., 0] > 0)
+                     & (boxes_px[..., 3] - boxes_px[..., 1] > 0))
+    valid = jnp.any(dets[..., :4] != 0.0, axis=-1) & nondegenerate
+    dets = dets * valid[..., None]
     masks = mask_assembly.assemble_masks_batch(raws[3], dets[..., :4], cfg.k_map)
-    # zero out masks of padding rows (parity with val_test's ragged output)
-    valid = jnp.any(dets[..., :4] != 0.0, axis=-1)
     masks = masks * valid[..., None, None]
     return dets, masks
 

@@ -1,0 +1,137 @@
+"""Checkpointing: Orbax save/restore + TF1 scope-name weight bridge.
+
+Replaces tf.train.Saver (train_yolo3_mask.py:47-58, max_to_keep=None, saved
+every SAVE_ITER) with Orbax.  Two restore modes mirror the reference:
+
+  * stage-1 selective: backbone + detection-head conv_bn layers
+    {1-52, 53-58, 60-66, 68-74} and bias convs {59, 67, 75} from a
+    pretrained checkpoint, mask subnet (76-82) left at init
+    (train_yolo3_mask.py:75-107, ignore_missing_vars=True)
+  * stage-2 full: every layer (train_yolo3_mask.py:61,109-111)
+
+``tf1_name_map`` documents the exact TF scope-name correspondence
+(yolo/convolutionalN/{weights,biases,BatchNorm/{beta,gamma,moving_mean,
+moving_variance}}) so the published ``yolov3_3class_coco.ckpt`` can be
+converted when TensorFlow is available (convert_tf1_checkpoint).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Iterable, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+# Layers restored in stage 1 (train_yolo3_mask.py:77-103)
+STAGE1_CONV_BN = tuple(range(1, 53)) + tuple(range(53, 59)) + \
+    tuple(range(60, 67)) + tuple(range(68, 75))
+STAGE1_CONV_BIAS = (59, 67, 75)
+
+
+def save_checkpoint(ckpt_dir: str, state, step: int) -> str:
+    path = os.path.join(os.path.abspath(ckpt_dir), f"step_{step:08d}")
+    if os.path.isdir(path):  # re-run over an interrupted save
+        import shutil
+        shutil.rmtree(path)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, state)
+    ckptr.wait_until_finished()
+    return path
+
+
+def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
+    if not os.path.isdir(ckpt_dir):
+        return None
+    steps = sorted(d for d in os.listdir(ckpt_dir) if d.startswith("step_"))
+    return os.path.join(os.path.abspath(ckpt_dir), steps[-1]) if steps else None
+
+
+def restore_checkpoint(path: str, target):
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(path, target=target)
+
+
+# ---------------------------------------------------------------------------
+# TF1 bridge
+# ---------------------------------------------------------------------------
+
+def tf1_name_map(layer_id: int, has_bn: bool) -> Dict[str, str]:
+    """Flax param path suffix -> TF1 variable name for one conv layer."""
+    scope = f"yolo/convolutional{layer_id}"
+    if has_bn:
+        return {
+            "conv/kernel": f"{scope}/weights",
+            "bn/scale": f"{scope}/BatchNorm/gamma",
+            "bn/bias": f"{scope}/BatchNorm/beta",
+            "bn/mean": f"{scope}/BatchNorm/moving_mean",
+            "bn/var": f"{scope}/BatchNorm/moving_variance",
+        }
+    return {
+        "conv/kernel": f"{scope}/weights",
+        "conv/bias": f"{scope}/biases",
+    }
+
+
+def load_tf1_weights(variables: Dict[str, Any], tf1_values: Dict[str, np.ndarray],
+                     layers: Optional[Iterable[int]] = None,
+                     ignore_missing: bool = True) -> Dict[str, Any]:
+    """Merge a {tf1_name: ndarray} dict into Flax variables.
+
+    ``layers=None`` restores every conv layer present (stage-2 full
+    restore); pass STAGE1_CONV_BN + STAGE1_CONV_BIAS ids for the stage-1
+    selective restore.  TF kernels are HWIO like Flax's — no transpose.
+    """
+    params = jax.tree.map(lambda x: x, variables["params"])
+    stats = jax.tree.map(lambda x: x, variables["batch_stats"])
+
+    wanted = set(layers) if layers is not None else None
+    for name, layer in params.items():
+        if not name.startswith("convolutional"):
+            continue
+        lid = int(name[len("convolutional"):])
+        if wanted is not None and lid not in wanted:
+            continue
+        has_bn = "bn" in layer
+        for flax_key, tf_name in tf1_name_map(lid, has_bn).items():
+            if tf_name not in tf1_values:
+                if ignore_missing:
+                    continue
+                raise KeyError(tf_name)
+            val = np.asarray(tf1_values[tf_name])
+            parts = flax_key.split("/")
+            if parts[0] == "conv":
+                dst = layer["conv"]
+                ref = dst[parts[1]]
+                assert ref.shape == val.shape, (tf_name, ref.shape, val.shape)
+                dst[parts[1]] = val.astype(np.asarray(ref).dtype)
+            else:  # bn
+                if parts[1] in ("scale", "bias"):
+                    dst = layer["bn"]
+                else:
+                    dst = stats[name]["bn"]
+                ref = dst[parts[1]]
+                assert ref.shape == val.shape, (tf_name, ref.shape, val.shape)
+                dst[parts[1]] = val.astype(np.asarray(ref).dtype)
+    return {"params": params, "batch_stats": stats}
+
+
+def convert_tf1_checkpoint(ckpt_path: str) -> Dict[str, np.ndarray]:
+    """Read a TF1 .ckpt into {name: ndarray} (requires tensorflow)."""
+    try:
+        from tensorflow.python.training import py_checkpoint_reader
+        reader = py_checkpoint_reader.NewCheckpointReader(ckpt_path)
+    except Exception as e:  # pragma: no cover
+        raise RuntimeError(
+            "TensorFlow is required to read TF1 checkpoints; convert once "
+            "offline with: python -m dis_yolo_tpu.cli convert-tf1 ...") from e
+    return {name: reader.get_tensor(name)
+            for name in reader.get_variable_to_shape_map()}
+
+
+def stage1_restore(variables, tf1_values):
+    """Selective stage-1 restore (mask subnet stays at init)."""
+    return load_tf1_weights(variables, tf1_values,
+                            layers=set(STAGE1_CONV_BN) | set(STAGE1_CONV_BIAS),
+                            ignore_missing=True)

@@ -1,0 +1,149 @@
+"""Training driver: the reference ``Solver`` (train_yolo3_mask.py:20-235)
+rebuilt around a jitted train step.
+
+Loop structure parity:
+  * piecewise LR handled inside the optimizer schedule
+  * metric log every ``summary_iter`` steps (:153-212)
+  * every ``save_iter`` steps: full validation mAP sweep over the val split
+    + Orbax checkpoint + val-history .npy (:156-227)
+  * config snapshot written once (:229-235)
+
+TPU-minded differences: data prefetch thread overlaps host augmentation
+with device compute; the validation sweep reuses one jitted predict over
+fixed-size batches; optional DP mesh shards the batch across chips.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dis_yolo_tpu.config import DISYoloConfig
+from dis_yolo_tpu.data.dataset import DefectTrainData
+from dis_yolo_tpu.data.val_data import DefectValData
+from dis_yolo_tpu.eval.map_eval import Evaluator
+from dis_yolo_tpu.models import api
+from dis_yolo_tpu.train import checkpoint as ckpt
+from dis_yolo_tpu.train import train_step as ts
+from dis_yolo_tpu.utils.metrics_log import MetricLogger
+from dis_yolo_tpu.utils.timer import Timer
+
+
+class Solver:
+    def __init__(self, cfg: DISYoloConfig,
+                 data: Optional[DefectTrainData] = None,
+                 evaluator: Optional[Evaluator] = None,
+                 val_data: Optional[DefectValData] = None,
+                 mesh=None, seed: int = 0,
+                 restore: Optional[str] = None,
+                 tf1_weights: Optional[str] = None):
+        self.cfg = cfg
+        self.mesh = mesh
+        self.data = data or DefectTrainData(cfg, "train", seed=seed)
+        self.evaluator = evaluator
+        self.val_data = val_data
+        self.ckpt_dir = os.path.join(cfg.output_dir, "checkpoint")
+        self.loss_dir = os.path.join(cfg.output_dir, "lossnp")
+        os.makedirs(self.ckpt_dir, exist_ok=True)
+        os.makedirs(self.loss_dir, exist_ok=True)
+        with open(os.path.join(self.ckpt_dir, "config.txt"), "w") as f:
+            f.write(cfg.snapshot())
+        self.logger = MetricLogger(self.ckpt_dir)
+
+        self.model = api.create_model(cfg)
+        variables = api.init_variables(cfg, jax.random.PRNGKey(seed))
+
+        if tf1_weights:  # stage-1 selective restore from converted TF1 ckpt
+            values = (np.load(tf1_weights, allow_pickle=True).item()
+                      if tf1_weights.endswith(".npz.npy") or
+                      tf1_weights.endswith(".npy")
+                      else ckpt.convert_tf1_checkpoint(tf1_weights))
+            variables = ckpt.stage1_restore(variables, values)
+
+        self.tx = ts.make_optimizer(variables["params"], cfg)
+        self.state = ts.TrainState(variables["params"], variables["batch_stats"],
+                                   self.tx.init(variables["params"]),
+                                   jnp.asarray(0))
+        if restore:  # resume from an Orbax checkpoint (global_step kept)
+            self.state = ckpt.restore_checkpoint(restore, self.state)
+
+        self.step_fn = ts.make_jitted_train_step(self.model, self.tx, mesh=mesh,
+                                                 dp_axis=cfg.dp_axis)
+        self.predict_fn = api.make_jitted_predict(self.model)
+        self.rng = jax.random.PRNGKey(seed + 1)
+
+    # ------------------------------------------------------------------
+    def validate(self) -> Optional[Dict]:
+        if self.evaluator is None or self.val_data is None:
+            return None
+        images, names, windows = self.val_data.get()
+        b = self.cfg.batch_size
+        n = len(names)
+        variables = {"params": self.state.params,
+                     "batch_stats": self.state.batch_stats}
+        detdata = []
+        for v in range(0, n, b):
+            imgs = images[v:v + b]
+            wins = windows[v:v + b]
+            pad = b - imgs.shape[0]
+            if pad:  # keep the jitted shape fixed on the tail batch
+                imgs = np.concatenate([imgs, np.zeros((pad,) + imgs.shape[1:],
+                                                      imgs.dtype)])
+                wins = np.concatenate([wins, np.tile([0., 0., 1., 1.],
+                                                     (pad, 1)).astype(np.float32)])
+            dets, masks = self.predict_fn(variables, jnp.asarray(imgs),
+                                          jnp.asarray(wins))
+            dets, masks = np.asarray(dets), np.asarray(masks)
+            for i in range(min(b, n - v)):
+                detdata.append({"imname": names[v + i], "boxes": dets[i],
+                                "masks": masks[i]})
+        return self.evaluator.evaluate_detections(detdata)
+
+    # ------------------------------------------------------------------
+    def train(self, max_iter: Optional[int] = None):
+        cfg = self.cfg
+        max_iter = max_iter or cfg.max_iter
+        load_timer, train_timer = Timer(), Timer()
+        self.data.start_prefetch()
+        epoch_loss, epoch_count = 0.0, 0
+
+        start = int(self.state.step) + 1
+        for step in range(start, max_iter + 1):
+            load_timer.tic()
+            batch = self.data.next_prefetched()
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            load_timer.toc()
+
+            train_timer.tic()
+            self.rng, key = jax.random.split(self.rng)
+            self.state, metrics = self.step_fn(self.state, batch, key)
+            loss = float(metrics["total_loss"])
+            train_timer.toc()
+            epoch_loss += loss
+            epoch_count += 1
+
+            if step % cfg.summary_iter == 0:
+                self.logger.log(step, {k: float(v) for k, v in metrics.items()})
+
+            if step % cfg.save_iter == 0:
+                record_loss = epoch_loss / max(epoch_count, 1)
+                result = self.validate()
+                if result is not None:
+                    self.logger.log_validation(step, self.data.epoch,
+                                               record_loss, result)
+                    print(f"Step {step} epoch {self.data.epoch} "
+                          f"loss {record_loss:.3f} "
+                          f"AP {['%.3f' % a for a in result['AP']]} "
+                          f"mAP50 {result['mAP']:.3f} "
+                          f"speed {train_timer.average_time:.3f}s/it "
+                          f"load {load_timer.average_time:.3f}s/it")
+                epoch_loss, epoch_count = 0.0, 0
+                ckpt.save_checkpoint(self.ckpt_dir, self.state, step)
+                self.logger.save_val_history(self.loss_dir, step)
+
+        self.data.stop()
+        return self.state

@@ -1,0 +1,138 @@
+"""Evaluation parity tests: AP math, mask IoU, un-letterboxing, end-to-end
+perfect-detection mAP/mIoU on synthetic annotations."""
+
+import numpy as np
+import pytest
+
+from dis_yolo_tpu.config import DISYoloConfig
+from dis_yolo_tpu.eval.map_eval import Evaluator
+from dis_yolo_tpu.eval.postprocess import correct_yolo_box, paste_mask
+from dis_yolo_tpu.eval.voc_eval import compute_overlaps_masks, voc_ap, voc_eval
+
+
+def test_voc_ap_known_values():
+    rec = np.array([0.5, 1.0])
+    prec = np.array([1.0, 2 / 3])
+    ap = voc_ap(rec, prec, use_07_metric=False)
+    # envelope: 1.0 on [0, .5], 2/3 on (.5, 1] -> 0.5 + 2/3*0.5
+    assert ap == pytest.approx(0.5 + 2 / 3 * 0.5)
+    ap07 = voc_ap(rec, prec, use_07_metric=True)
+    assert ap07 == pytest.approx((6 * 1.0 + 5 * 2 / 3) / 11)
+
+
+def test_compute_overlaps_masks():
+    a = np.zeros((10, 10, 1), bool)
+    a[2:6, 2:6, 0] = True          # 16 px
+    b = np.zeros((10, 10, 2), bool)
+    b[4:8, 4:8, 0] = True          # overlap 2x2=4, union 28
+    b[0:2, 0:2, 1] = True          # no overlap
+    ov = compute_overlaps_masks(a, b)
+    assert ov[0, 0] == pytest.approx(4 / 28)
+    assert ov[0, 1] == 0.0
+
+
+def test_voc_eval_greedy_matching():
+    gt = {"img0": [{"classid": 0, "difficult": 0,
+                    "mask": np.pad(np.ones((4, 4), bool), ((0, 6), (0, 6)))}]}
+    # two detections on the same GT: best first -> TP, duplicate -> FP
+    m = np.pad(np.ones((4, 4), bool), ((0, 6), (0, 6)))
+    dets = [{"imageid": "img0", "score": 0.9, "mask": m},
+            {"imageid": "img0", "score": 0.8, "mask": m}]
+    recall, precision, ap = voc_eval(dets, gt, ["img0"], 0)
+    assert recall == 1.0 and precision == 0.5 and ap == 1.0
+
+
+def test_correct_yolo_box_identity():
+    # image exactly net-sized: inverse letterbox is just scaling
+    x1, y1, x2, y2 = correct_yolo_box(0.25, 0.25, 0.75, 0.75, 96, 96, 96, 96)
+    assert (x1, y1, x2, y2) == (24, 24, 72, 72)
+
+
+def test_correct_yolo_box_tall_image():
+    # 192x96 tall image letterboxed into 96: width band [24, 72)
+    ih, iw, net = 192, 96, 96
+    # a box spanning the whole image: normalized window coords
+    x1, y1, x2, y2 = correct_yolo_box(24 / 96, 0.0, 72 / 96, 1.0, ih, iw, net, net)
+    assert (x1, y1) == (0, 0) and (x2, y2) == (iw, ih)
+
+
+def test_paste_mask_roundtrip():
+    size = 48
+    pred = np.zeros((size, size), np.float32)
+    pred[12:24, 12:24] = 1.0
+    box_norm = np.array([12 / size, 12 / size, 24 / size, 24 / size])
+    full = paste_mask(pred, box_norm, (24, 24, 48, 48), 96, 96)
+    assert full[24:48, 24:48].all() and full.sum() == 24 * 24
+
+
+# ---------------------------------------------------------------------------
+# end-to-end: perfect detections on synthetic annotations => mAP 1, mIoU ~1
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def synthetic_eval():
+    """Annotations whose images are exactly test_size (no letterboxing)."""
+    cfg = DISYoloConfig(test_size=96)
+    sz = 96
+    anns = []
+    rects = [((10, 10, 40, 34), "crack"), ((50, 50, 90, 80), "spall"),
+             ((20, 60, 44, 90), "rebar")]
+    for i in range(3):
+        regions = {}
+        for j, ((x1, y1, x2, y2), cls) in enumerate(rects[: i + 1]):
+            regions[str(j)] = {
+                "region_attributes": cls,
+                "shape_attributes": [{
+                    "type": "out",
+                    "all_points_x": [x1, x2, x2, x1],
+                    "all_points_y": [y1, y1, y2, y2],
+                }],
+            }
+        anns.append({"filename": f"im{i}.jpg", "regions": regions,
+                     "size": [sz, sz]})
+    index = [f"im{i}" for i in range(3)]
+    ev = Evaluator(cfg, "test", with_semantic=True,
+                   annotations=anns, index=index)
+    return cfg, ev, anns, index, rects
+
+
+def test_perfect_detections_full_marks(synthetic_eval):
+    cfg, ev, anns, index, rects = synthetic_eval
+    sz, s = 96, 96 // 2   # image size, score-map size
+    detdata = []
+    for i, stem in enumerate(index):
+        n = i + 1
+        boxes = np.zeros((cfg.max_detection, 6), np.float32)
+        masks = np.zeros((cfg.max_detection, s, s), np.float32)
+        for j, ((x1, y1, x2, y2), cls) in enumerate(rects[:n]):
+            # GT masks include the boundary pixel -> box extent +1
+            gm = ev.gt_masks[stem][j]["mask"]
+            ys, xs = np.where(gm)
+            by1, by2 = ys.min(), ys.max() + 1
+            bx1, bx2 = xs.min(), xs.max() + 1
+            boxes[j] = [by1 / sz, bx1 / sz, by2 / sz, bx2 / sz,
+                        cfg.class_to_ind()[cls], 0.9 - 0.05 * j]
+            # downsample GT to the score-map grid as the "sigmoid mask"
+            masks[j] = gm.reshape(s, 2, s, 2).mean(axis=(1, 3))
+        detdata.append({"imname": stem, "boxes": boxes, "masks": masks})
+
+    res = ev.evaluate_detections(detdata, collect_semantic=True)
+    assert res["AP"] == [1.0, 1.0, 1.0]
+    assert res["mAP"] == 1.0
+    m = ev.miou(res["semantic_maps"])
+    assert m["miou"] > 0.9
+    assert all(v > 0.8 for v in m["iou"])
+
+
+def test_empty_detections(synthetic_eval):
+    cfg, ev, anns, index, rects = synthetic_eval
+    s = 48
+    detdata = [{"imname": stem,
+                "boxes": np.zeros((cfg.max_detection, 6), np.float32),
+                "masks": np.zeros((cfg.max_detection, s, s), np.float32)}
+               for stem in index]
+    res = ev.evaluate_detections(detdata, collect_semantic=True)
+    assert res["mAP"] == 0.0
+    m = ev.miou(res["semantic_maps"])
+    # background IoU is high, defect classes 0
+    assert m["iou"][0] > 0.5 and m["iou"][1] == 0.0
