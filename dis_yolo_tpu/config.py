@@ -83,6 +83,9 @@ class DISYoloConfig:
     # ---- precision / parallelism --------------------------------------------
     compute_dtype: str = "bfloat16"   # conv compute dtype on TPU
     param_dtype: str = "float32"
+    # Fuse mask assembly + sigmoid into a Pallas kernel on TPU backends
+    # (inference path only; training keeps the differentiable jnp form).
+    use_pallas_assembly: bool = True
     # conv layer ids (1-based, matching reference scope names) that are
     # frozen.  Stage 1 = backbone 1..52 locked (yolo3_net_pos.py:155-156).
     locked_layers: Tuple[int, ...] = tuple(range(1, 53))

@@ -78,9 +78,22 @@ def _draw_edges(mask: np.ndarray, xs: np.ndarray, ys: np.ndarray) -> None:
         mask[py, px] = True
 
 
+def _native_available() -> bool:
+    try:
+        from dis_yolo_tpu import native
+        return native.available()
+    except Exception:  # pragma: no cover
+        return False
+
+
 def _fill(xs: Sequence[int], ys: Sequence[int], h: int, w: int,
           engine: str = "auto") -> np.ndarray:
-    if engine == "numpy" or (engine == "auto" and not _HAS_CV2):
+    """Fill one polygon.  Engine order for 'auto': native C++ (identical
+    semantics to the numpy scanline, ~100x faster) -> cv2 -> numpy."""
+    if engine in ("auto", "native") and _native_available():
+        from dis_yolo_tpu import native
+        return native.fill_polygon(xs, ys, h, w).astype(bool)
+    if engine == "numpy" or (engine in ("auto", "native") and not _HAS_CV2):
         return fill_polygon_scanline(np.asarray(xs), np.asarray(ys), h, w)
     pts = np.stack([np.asarray(xs), np.asarray(ys)], axis=1).astype(np.int32)
     out = np.zeros((h, w), dtype=np.uint8)

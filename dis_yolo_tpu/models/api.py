@@ -62,9 +62,21 @@ def predict(model: DISYolo, variables: Dict[str, Any], images: jnp.ndarray,
                      & (boxes_px[..., 3] - boxes_px[..., 1] > 0))
     valid = jnp.any(dets[..., :4] != 0.0, axis=-1) & nondegenerate
     dets = dets * valid[..., None]
-    masks = mask_assembly.assemble_masks_batch(raws[3], dets[..., :4], cfg.k_map)
+    if cfg.use_pallas_assembly and _on_tpu():
+        from dis_yolo_tpu.ops.pallas_assembly import assemble_masks_batch_pallas
+        masks = assemble_masks_batch_pallas(raws[3], dets[..., :4], cfg.k_map)
+    else:
+        masks = mask_assembly.assemble_masks_batch(raws[3], dets[..., :4],
+                                                   cfg.k_map)
     masks = masks * valid[..., None, None]
     return dets, masks
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() not in ("cpu", "gpu")
+    except Exception:
+        return False
 
 
 def make_jitted_predict(model: DISYolo, obj_thresh: Optional[float] = None):

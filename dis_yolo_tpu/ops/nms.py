@@ -46,30 +46,36 @@ def flatten_predictions(preds: Sequence[ScalePrediction]):
             jnp.concatenate(coords, axis=1))
 
 
-def _greedy_class_nms(boxes: jnp.ndarray, scores: jnp.ndarray, classids: jnp.ndarray,
-                      valid: jnp.ndarray, iou_thresh: float) -> jnp.ndarray:
-    """Greedy NMS over score-sorted candidates.
+def _select_suppress_nms(boxes: jnp.ndarray, scores: jnp.ndarray,
+                         classids: jnp.ndarray, valid: jnp.ndarray,
+                         iou_thresh: float, max_det: int) -> jnp.ndarray:
+    """Class-aware greedy NMS as ``max_det`` select-and-suppress rounds.
 
-    boxes [K,4] yxyx (already sorted by descending score), scores [K],
-    classids [K] int32, valid [K] bool.  Returns the surviving mask [K].
-    Suppression only applies between same-class candidates, mirroring the
-    reference's per-class-id map_fn NMS.
+    boxes [K,4] yxyx, scores [K], classids [K], valid [K].  Returns the
+    indices [max_det] of the kept candidates in descending-score order
+    (-1 padding).  Equivalent to sorting by score and greedily keeping
+    candidates not suppressed by an earlier same-class keeper (the
+    reference's per-class tf.image.non_max_suppression + global top-k,
+    yolo3_net_pos.py:565-612): at every round the highest-scoring alive
+    candidate is exactly the next greedy survivor.  Only ``max_det``
+    sequential steps of O(K) vector work — TPU-friendly, unlike a
+    K-iteration triangular elimination.
     """
-    k = boxes.shape[0]
     iou = box_ops.iou_matrix_yxyx(boxes, boxes)                    # [K,K]
     same_class = classids[:, None] == classids[None, :]
-    # j suppresses i only if j comes earlier (higher score) in sort order
-    earlier = jnp.arange(k)[:, None] > jnp.arange(k)[None, :]      # [i, j] j<i
-    suppress_pair = (iou > iou_thresh) & same_class & earlier      # [i, j]
+    suppress = (iou > iou_thresh) & same_class                     # [j, i]
 
-    def body(i, keep):
-        # candidate i survives iff no *kept* earlier same-class box overlaps
-        suppressed = jnp.any(suppress_pair[i] & keep)
-        keep_i = valid[i] & jnp.logical_not(suppressed)
-        return keep.at[i].set(keep_i)
+    def body(state, _):
+        alive, = state
+        s = jnp.where(alive, scores, -jnp.inf)
+        j = jnp.argmax(s)
+        ok = s[j] > -jnp.inf
+        alive = alive & jnp.logical_not(suppress[j]) & (jnp.arange(len(scores)) != j)
+        alive = jnp.where(ok, alive, jnp.zeros_like(alive))
+        return (alive,), jnp.where(ok, j, -1)
 
-    keep0 = jnp.zeros((k,), dtype=bool)
-    return jax.lax.fori_loop(0, k, body, keep0)
+    (_,), picked = jax.lax.scan(body, (valid,), None, length=max_det)
+    return picked                                                   # [max_det]
 
 
 def filter_detections_single(conf: jnp.ndarray, class_prob: jnp.ndarray,
@@ -92,23 +98,15 @@ def filter_detections_single(conf: jnp.ndarray, class_prob: jnp.ndarray,
     top_class = classid[top_idx]
     top_valid = top_score > obj_thresh
 
-    keep = _greedy_class_nms(top_boxes, top_score, top_class, top_valid,
-                             cfg.iou_threshold)
-
-    # Select the top `max_detection` survivors (already score-sorted).
     d = cfg.max_detection
-    kept_score = jnp.where(keep, top_score, -1.0)
-    if k < d:  # fewer candidates than output slots: pad before top_k
-        pad = d - k
-        kept_score = jnp.concatenate([kept_score, jnp.full((pad,), -1.0)])
-        top_boxes = jnp.concatenate([top_boxes, jnp.zeros((pad, 4))])
-        top_class = jnp.concatenate([top_class, jnp.zeros((pad,), jnp.int32)])
-    out_score, out_sel = jax.lax.top_k(kept_score, d)
-    out_valid = out_score > obj_thresh
+    picked = _select_suppress_nms(top_boxes, top_score, top_class, top_valid,
+                                  cfg.iou_threshold, d)               # [D]
+    safe = jnp.maximum(picked, 0)
+    out_valid = picked >= 0
     det = jnp.concatenate([
-        top_boxes[out_sel],
-        top_class[out_sel].astype(jnp.float32)[:, None],
-        out_score[:, None],
+        top_boxes[safe],
+        top_class[safe].astype(jnp.float32)[:, None],
+        top_score[safe][:, None],
     ], axis=-1)
     return jnp.where(out_valid[:, None], det, 0.0)                    # [D,6]
 

