@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -118,6 +119,61 @@ def cmd_eval(args):
                       "s_per_image": t_pred / n_timed}))
 
 
+def cmd_verify_gt(args):
+    from dis_yolo_tpu.utils.visualize import render_groundtruth
+    paths = render_groundtruth(args.dataset, args.phase, limit=args.limit)
+    print(f"wrote {len(paths)} verification overlays")
+
+
+def cmd_infer(args):
+    """Single-image / directory inference with overlay output."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    import cv2
+    from dis_yolo_tpu.data.val_data import letterbox_image
+    from dis_yolo_tpu.eval.postprocess import detections_to_original
+    from dis_yolo_tpu.models import api
+    from dis_yolo_tpu.models.fold import fold_batchnorm
+    from dis_yolo_tpu.train import checkpoint as ckpt
+    from dis_yolo_tpu.train import train_step as ts
+    from dis_yolo_tpu.utils.visualize import draw_instances
+
+    cfg = _make_cfg(args, batch_size=1)
+    model = api.create_model(cfg)
+    variables = api.init_variables(cfg, jax.random.PRNGKey(0))
+    if args.checkpoint:
+        tx = ts.make_optimizer(variables["params"], cfg)
+        state = ts.TrainState(variables["params"], variables["batch_stats"],
+                              tx.init(variables["params"]), jnp.asarray(0))
+        state = ckpt.restore_checkpoint(args.checkpoint, state)
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+    variables = fold_batchnorm(model, variables)
+    run = api.make_jitted_predict(model, obj_thresh=args.threshold)
+
+    paths = ([os.path.join(args.images, f) for f in sorted(os.listdir(args.images))
+              if f.lower().endswith((".jpg", ".png", ".jpeg"))]
+             if os.path.isdir(args.images) else [args.images])
+    os.makedirs(args.out, exist_ok=True)
+    for path in paths:
+        bgr = cv2.imread(path)
+        if bgr is None:
+            raise SystemExit(f"error: cannot read image {path!r}")
+        rgb = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
+        h, w = rgb.shape[:2]
+        canvas, window = letterbox_image(rgb, cfg.test_size)
+        dets, masks = run(variables, jnp.asarray(canvas[None]),
+                          jnp.asarray(window[None]))
+        insts = detections_to_original(np.asarray(dets[0]), np.asarray(masks[0]),
+                                       h, w, cfg.test_size)
+        rendered = draw_instances(rgb, [
+            {"classname": cfg.classes[i["classid"]], "mask": i["mask"],
+             "box": i["box"], "score": i["score"]} for i in insts])
+        out_path = os.path.join(args.out, os.path.basename(path))
+        cv2.imwrite(out_path, cv2.cvtColor(rendered, cv2.COLOR_RGB2BGR))
+        print(f"{path}: {len(insts)} detections -> {out_path}")
+
+
 def cmd_convert_tf1(args):
     import numpy as np
     from dis_yolo_tpu.train.checkpoint import convert_tf1_checkpoint
@@ -162,6 +218,20 @@ def main(argv=None):
     p.add_argument("--phase", default="test", choices=["val", "test"])
     p.add_argument("--checkpoint", default=None)
     p.set_defaults(fn=cmd_eval)
+
+    p = sub.add_parser("verify-gt", help="render GT verification overlays")
+    _add_common(p)
+    p.add_argument("--phase", default="train", choices=["train", "val", "test"])
+    p.add_argument("--limit", type=int, default=None)
+    p.set_defaults(fn=cmd_verify_gt)
+
+    p = sub.add_parser("infer", help="run inference + overlay on image(s)")
+    _add_common(p)
+    p.add_argument("--images", required=True, help="image file or directory")
+    p.add_argument("--out", default="infer_out")
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--threshold", type=float, default=0.25)
+    p.set_defaults(fn=cmd_infer)
 
     p = sub.add_parser("convert-tf1", help="TF1 .ckpt -> .npy weight dict")
     p.add_argument("--ckpt", required=True)

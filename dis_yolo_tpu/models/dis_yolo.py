@@ -118,17 +118,31 @@ class DISYolo(nn.Module):
         b, h, w, _ = y3.shape
         raw_s8 = y3.reshape(b, h, w, a, 5 + c)
 
-        # ---- mask decoder: stride 8 -> 2, k^2 score maps (:380-412) ----
+        # ---- mask decoder: stride 8 -> cfg.mask_stride score maps ----
+        # stride 4: reference's commented m=1/4 variant (:362-378)
+        # stride 2: the published decoder (:380-412)
+        # stride 1: the commented m=1 85-layer variant (:415-461)
         m = self._cbn(76, 64, 1)(x, train)
         m = jnp.concatenate([skip3, upsample2x_nearest(m)], axis=-1)
         m = self._cbn(77, 64, 1)(m, train)
         m = self._cbn(78, 128, 3)(m, train)
-        m = self._cbn(79, 32, 1)(m, train)
-        m = jnp.concatenate([skip2, upsample2x_nearest(m)], axis=-1)
-        m = self._cbn(80, 32, 1)(m, train)
-        m = self._cbn(81, 64, 3)(m, train)
-        scoremaps = self._cbias(82, cfg.num_scoremaps)(m)
-
-        del skip1  # tapped for the commented stride-1 decoder variant only
+        if cfg.mask_stride == 4:
+            scoremaps = self._cbias(79, cfg.num_scoremaps)(m)
+        else:
+            m = self._cbn(79, 32, 1)(m, train)
+            m = jnp.concatenate([skip2, upsample2x_nearest(m)], axis=-1)
+            m = self._cbn(80, 32, 1)(m, train)
+            m = self._cbn(81, 64, 3)(m, train)
+            if cfg.mask_stride == 2:
+                scoremaps = self._cbias(82, cfg.num_scoremaps)(m)
+            elif cfg.mask_stride == 1:
+                m = self._cbn(82, 16, 1)(m, train)
+                m = jnp.concatenate([skip1, upsample2x_nearest(m)], axis=-1)
+                m = self._cbn(83, 16, 1)(m, train)
+                m = self._cbn(84, 32, 3)(m, train)
+                scoremaps = self._cbias(85, cfg.num_scoremaps)(m)
+            else:
+                raise ValueError(f"mask_stride must be 1, 2 or 4, "
+                                 f"got {cfg.mask_stride}")
         return (raw_s8.astype(jnp.float32), raw_s16.astype(jnp.float32),
                 raw_s32.astype(jnp.float32), scoremaps.astype(jnp.float32))
