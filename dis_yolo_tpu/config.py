@@ -86,6 +86,14 @@ class DISYoloConfig:
     # Fuse mask assembly + sigmoid into a Pallas kernel on TPU backends
     # (inference path only; training keeps the differentiable jnp form).
     use_pallas_assembly: bool = True
+    # Deploy mode: ConvBN blocks become fused conv+bias+leaky (BN folded
+    # into the kernel, no f32 casts); use models.fold.deploy_variables to
+    # convert trained weights.
+    deploy: bool = False
+    # Run flip + photometric augmentation on device inside the jitted train
+    # step (data/device_augment.py); pair with
+    # DefectTrainData(host_augs=False).
+    device_side_augs: bool = False
     # conv layer ids (1-based, matching reference scope names) that are
     # frozen.  Stage 1 = backbone 1..52 locked (yolo3_net_pos.py:155-156).
     locked_layers: Tuple[int, ...] = tuple(range(1, 53))

@@ -181,9 +181,14 @@ class DefectTrainData:
 
     def __init__(self, cfg: DISYoloConfig, phase: str = "train",
                  seed: int = 0, prefetch: int = 2,
-                 labels: Optional[List[Dict]] = None):
+                 labels: Optional[List[Dict]] = None,
+                 host_augs: bool = True):
         self.cfg = cfg
         self.phase = phase
+        # host_augs=False defers flips + photometric to the device-side
+        # jitted path (data/device_augment.py); scale/crop stays host-side
+        # (it changes the anchor assignment).
+        self.host_augs = host_augs
         self.rng = np.random.RandomState(seed)
         self.gt_labels = labels if labels is not None else load_labels(cfg, phase)
         self.order = self.rng.permutation(len(self.gt_labels))
@@ -276,7 +281,7 @@ class DefectTrainData:
         grids = assign_anchors(boxes_net, classids, self.cfg)
 
         # ---- aug 2: random h/v flip (train_data.py:189-236) ----
-        flip = self.rng.randint(1, 4) if cfg.flipped else 1
+        flip = self.rng.randint(1, 4) if (cfg.flipped and self.host_augs) else 1
         if flip == 2:     # horizontal
             tb[: len(boxes), 0] = net - 1 - tb[: len(boxes), 0]
             grids = [_flip_grid(g, 1, net) for g in grids]
@@ -285,7 +290,8 @@ class DefectTrainData:
             grids = [_flip_grid(g, 0, net) for g in grids]
 
         # ---- aug 3: photometric (code-order dispatch, :393-401) ----
-        bnl = self.rng.randint(1, 5) if cfg.blur_noise_light else 1
+        bnl = self.rng.randint(1, 5) if (cfg.blur_noise_light
+                                         and self.host_augs) else 1
 
         img_net = augment.place_and_pad(image, new_w, new_h, dx, dy,
                                         net, net, pad_value=127)

@@ -33,8 +33,16 @@ class DISYolo(nn.Module):
 
     cfg: DISYoloConfig
 
-    def _cbn(self, idx: int, features: int, kernel: int, stride: int = 1) -> ConvBN:
+    def _cbn(self, idx: int, features: int, kernel: int, stride: int = 1):
         cfg = self.cfg
+        if cfg.deploy:
+            from dis_yolo_tpu.models.layers import DeployConv
+            return DeployConv(
+                features=features, kernel=kernel, stride=stride, act=True,
+                alpha=cfg.alpha, dtype=jnp.dtype(cfg.compute_dtype),
+                param_dtype=jnp.dtype(cfg.param_dtype),
+                name=f"convolutional{idx}",
+            )
         return ConvBN(
             features=features, kernel=kernel, stride=stride, act=True,
             alpha=cfg.alpha, lock=idx in cfg.locked_layers,

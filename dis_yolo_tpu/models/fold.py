@@ -35,3 +35,29 @@ def fold_batchnorm(model, variables: Dict[str, Any]) -> Dict[str, Any]:
         st["var"] = jnp.ones_like(st["var"]) - BN_EPS
 
     return {"params": params, "batch_stats": stats}
+
+
+def deploy_variables(variables: Dict[str, Any]) -> Dict[str, Any]:
+    """Trained {params, batch_stats} -> deploy-mode params.
+
+    Each ConvBN layer becomes a single conv with
+      kernel' = kernel * gamma / sqrt(var + eps)
+      bias'   = beta - mean * gamma / sqrt(var + eps)
+    consumed by ``DISYolo(cfg.replace(deploy=True))``.  Bias-conv layers
+    (59/67/75/79/82/85) pass through unchanged.
+    """
+    out: Dict[str, Any] = {}
+    params = variables["params"]
+    stats = variables["batch_stats"]
+    for name, layer in params.items():
+        if "bn" in layer:
+            bn = layer["bn"]
+            st = stats[name]["bn"]
+            inv = bn["scale"] / jnp.sqrt(st["var"] + BN_EPS)
+            out[name] = {"conv": {
+                "kernel": layer["conv"]["kernel"] * inv,
+                "bias": bn["bias"] - st["mean"] * inv,
+            }}
+        else:
+            out[name] = jax.tree.map(lambda x: x, layer)
+    return {"params": out}

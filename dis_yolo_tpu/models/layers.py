@@ -85,6 +85,31 @@ class ConvBias(nn.Module):
         )(x)
 
 
+class DeployConv(nn.Module):
+    """Inference-only fused block: conv + folded-BN bias + leaky, pure
+    compute-dtype (no BatchNorm module, no f32 casts).  Parameters come from
+    ``models.fold.deploy_variables``."""
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    act: bool = True
+    alpha: float = 0.1
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x = nn.Conv(
+            self.features, (self.kernel, self.kernel),
+            strides=(self.stride, self.stride), padding="SAME", use_bias=True,
+            dtype=self.dtype, param_dtype=self.param_dtype, name="conv",
+        )(x)
+        if self.act:
+            x = leaky_relu(x, self.alpha)
+        return x
+
+
 def upsample2x_nearest(x: jnp.ndarray) -> jnp.ndarray:
     """Nearest-neighbor 2x upsample (tf.image.resize_nearest_neighbor parity).
 

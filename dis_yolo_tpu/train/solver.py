@@ -68,6 +68,10 @@ class Solver:
         self.state = ts.TrainState(variables["params"], variables["batch_stats"],
                                    self.tx.init(variables["params"]),
                                    jnp.asarray(0))
+        if restore == "auto":  # crash recovery: newest checkpoint if any
+            restore = ckpt.latest_checkpoint(self.ckpt_dir)
+            if restore:
+                print(f"Auto-resuming from {restore}")
         if restore:  # resume from an Orbax checkpoint (global_step kept)
             self.state = ckpt.restore_checkpoint(restore, self.state)
 

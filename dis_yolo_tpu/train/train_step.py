@@ -144,7 +144,18 @@ def make_jitted_train_step(model: DISYolo, tx: optax.GradientTransformation,
     With a ``mesh``, inputs are constrained batch-sharded and state
     replicated; XLA turns the gradient reduction into a psum over ICI.
     """
-    step_fn = functools.partial(train_step, model=model, tx=tx)
+    base_step = functools.partial(train_step, model=model, tx=tx)
+    if model.cfg.device_side_augs:
+        from dis_yolo_tpu.data.device_augment import augment_batch
+
+        def step_fn(state, batch, key):
+            ka, kb = jax.random.split(key)
+            batch = augment_batch(ka, batch, model.cfg.image_size,
+                                  flips=model.cfg.flipped,
+                                  photometric=model.cfg.blur_noise_light)
+            return base_step(state, batch, kb)
+    else:
+        step_fn = base_step
     if mesh is None:
         return jax.jit(step_fn)
 

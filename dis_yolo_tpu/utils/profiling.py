@@ -1,0 +1,59 @@
+"""Profiling hooks: jax.profiler traces + chain-scan micro-timing.
+
+The reference's only instrumentation is wall-clock Timers
+(train_yolo3_mask.py:118-119, calculate_test_map.py:195-196); here we add
+
+  * ``trace(logdir)`` — context manager around ``jax.profiler`` for full
+    XLA/TPU traces viewable in TensorBoard/Perfetto
+  * ``chain_scan_time`` — the *honest* device-timing primitive for
+    remote-attached TPUs: N data-dependent executions inside one
+    ``lax.scan`` with a host fetch of a scalar reduced from every step.
+    Plain dispatch loops under-report by orders of magnitude (unconsumed
+    outputs may never execute; ``block_until_ready`` over a tunnel measures
+    dispatch+RTT, not compute).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@contextlib.contextmanager
+def trace(logdir: str):
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def chain_scan_time(body: Callable, x0, n: int = 20, repeats: int = 3) -> float:
+    """Median seconds per execution of ``body`` (x -> scalar-reducible out).
+
+    ``body`` must accept the carry (same shape/dtype as ``x0``) and return
+    an array; a tiny multiple of its sum is folded back into the carry so
+    no iteration can be elided.
+    """
+
+    @jax.jit
+    def chain(x):
+        def step(c, _):
+            out = body(c)
+            s = jnp.sum(out)
+            return c + s * 1e-20, s
+        _, outs = jax.lax.scan(step, x, None, length=n)
+        return outs.sum()
+
+    float(chain(x0))                       # compile + warm
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(chain(x0))                   # host fetch forces execution
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times)) / n
