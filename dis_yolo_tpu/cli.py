@@ -62,6 +62,7 @@ def cmd_train(args):
         val = DefectValData(cfg, "val")
     solver = Solver(cfg, evaluator=evaluator, val_data=val, mesh=mesh,
                     seed=args.seed, restore=args.restore,
+                    weights_from=args.weights_from,
                     tf1_weights=args.tf1_weights)
     solver.train()
 
@@ -74,17 +75,14 @@ def cmd_eval(args):
     from dis_yolo_tpu.eval.map_eval import Evaluator
     from dis_yolo_tpu.models import api
     from dis_yolo_tpu.train import checkpoint as ckpt
-    from dis_yolo_tpu.train import train_step as ts
 
     cfg = _make_cfg(args)
     model = api.create_model(cfg)
     variables = api.init_variables(cfg, jax.random.PRNGKey(0))
     if args.checkpoint:
-        tx = ts.make_optimizer(variables["params"], cfg)
-        state = ts.TrainState(variables["params"], variables["batch_stats"],
-                              tx.init(variables["params"]), jnp.asarray(0))
-        state = ckpt.restore_checkpoint(args.checkpoint, state)
-        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        p, bs = ckpt.restore_weights(args.checkpoint, variables["params"],
+                                     variables["batch_stats"])
+        variables = {"params": p, "batch_stats": bs}
 
     evaluator = Evaluator(cfg, args.phase, with_semantic=True)
     val = DefectValData(cfg, args.phase)
@@ -136,18 +134,15 @@ def cmd_infer(args):
     from dis_yolo_tpu.models import api
     from dis_yolo_tpu.models.fold import fold_batchnorm
     from dis_yolo_tpu.train import checkpoint as ckpt
-    from dis_yolo_tpu.train import train_step as ts
     from dis_yolo_tpu.utils.visualize import draw_instances
 
     cfg = _make_cfg(args, batch_size=1)
     model = api.create_model(cfg)
     variables = api.init_variables(cfg, jax.random.PRNGKey(0))
     if args.checkpoint:
-        tx = ts.make_optimizer(variables["params"], cfg)
-        state = ts.TrainState(variables["params"], variables["batch_stats"],
-                              tx.init(variables["params"]), jnp.asarray(0))
-        state = ckpt.restore_checkpoint(args.checkpoint, state)
-        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        p, bs = ckpt.restore_weights(args.checkpoint, variables["params"],
+                                     variables["batch_stats"])
+        variables = {"params": p, "batch_stats": bs}
     variables = fold_batchnorm(model, variables)
     run = api.make_jitted_predict(model, obj_thresh=args.threshold)
 
@@ -205,7 +200,10 @@ def main(argv=None):
     p.add_argument("--max-iter", type=int, default=10000)
     p.add_argument("--save-iter", type=int, default=500)
     p.add_argument("--summary-iter", type=int, default=50)
-    p.add_argument("--restore", default=None, help="Orbax checkpoint to resume")
+    p.add_argument("--restore", default=None,
+                   help="Orbax checkpoint to resume ('auto' = latest)")
+    p.add_argument("--weights-from", default=None,
+                   help="load params/BN-stats only (stage-1 -> stage-2 bridge)")
     p.add_argument("--tf1-weights", default=None,
                    help="converted TF1 weights (.npy) for stage-1 restore")
     p.add_argument("--data-parallel", action="store_true",

@@ -31,12 +31,17 @@ STAGE1_CONV_BIAS = (59, 67, 75)
 
 
 def save_checkpoint(ckpt_dir: str, state, step: int) -> str:
+    """Save the full TrainState (resume) plus a weights-only artifact
+    (params + batch_stats) usable across stage configs whose optimizer
+    trees differ (stage-1 vs stage-2 trainable masks)."""
     path = os.path.join(os.path.abspath(ckpt_dir), f"step_{step:08d}")
     if os.path.isdir(path):  # re-run over an interrupted save
         import shutil
         shutil.rmtree(path)
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(path, state)
+    ckptr.save(os.path.join(path, "state"), state)
+    ckptr.save(os.path.join(path, "weights"),
+               {"params": state.params, "batch_stats": state.batch_stats})
     ckptr.wait_until_finished()
     return path
 
@@ -50,7 +55,18 @@ def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
 
 def restore_checkpoint(path: str, target):
     ckptr = ocp.StandardCheckpointer()
-    return ckptr.restore(path, target=target)
+    state_path = os.path.join(path, "state")
+    if os.path.isdir(state_path):
+        return ckptr.restore(state_path, target=target)
+    return ckptr.restore(path, target=target)  # pre-split layout
+
+
+def restore_weights(path: str, params, batch_stats):
+    """Load only {params, batch_stats} from a checkpoint (stage bridge)."""
+    ckptr = ocp.StandardCheckpointer()
+    out = ckptr.restore(os.path.join(path, "weights"),
+                        target={"params": params, "batch_stats": batch_stats})
+    return out["params"], out["batch_stats"]
 
 
 # ---------------------------------------------------------------------------

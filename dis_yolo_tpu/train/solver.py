@@ -40,6 +40,7 @@ class Solver:
                  val_data: Optional[DefectValData] = None,
                  mesh=None, seed: int = 0,
                  restore: Optional[str] = None,
+                 weights_from: Optional[str] = None,
                  tf1_weights: Optional[str] = None):
         self.cfg = cfg
         self.mesh = mesh
@@ -68,6 +69,14 @@ class Solver:
         self.state = ts.TrainState(variables["params"], variables["batch_stats"],
                                    self.tx.init(variables["params"]),
                                    jnp.asarray(0))
+        if weights_from:
+            # stage transition (e.g. stage-1 ckpt -> stage-2 run): load
+            # params + BN stats only; optimizer state and step start fresh
+            # because the trainable mask differs between stages
+            # (train_yolo3_mask.py:109-114 stage-2 restore + step reset).
+            p, bs = ckpt.restore_weights(weights_from, self.state.params,
+                                         self.state.batch_stats)
+            self.state = ts.TrainState(p, bs, self.tx.init(p), jnp.asarray(0))
         if restore == "auto":  # crash recovery: newest checkpoint if any
             restore = ckpt.latest_checkpoint(self.ckpt_dir)
             if restore:
