@@ -14,8 +14,6 @@ what pre_process expects to contour.
 from __future__ import annotations
 
 import os
-from typing import List, Optional
-
 import numpy as np
 
 try:

@@ -15,8 +15,6 @@ and is composed by ``dis_yolo_tpu.models.api``.
 
 from __future__ import annotations
 
-from typing import Any, Tuple
-
 import flax.linen as nn
 import jax.numpy as jnp
 

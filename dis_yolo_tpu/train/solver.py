@@ -134,16 +134,17 @@ class Solver:
             train_timer.tic()
             self.rng, key = jax.random.split(self.rng)
             self.state, metrics = self.step_fn(self.state, batch, key)
-            loss = float(metrics["total_loss"])
             train_timer.toc()
-            epoch_loss += loss
+            # keep the loss on device between syncs: a float() here would
+            # force a host round-trip every step
+            epoch_loss = epoch_loss + metrics["total_loss"]
             epoch_count += 1
 
             if step % cfg.summary_iter == 0:
                 self.logger.log(step, {k: float(v) for k, v in metrics.items()})
 
             if step % cfg.save_iter == 0:
-                record_loss = epoch_loss / max(epoch_count, 1)
+                record_loss = float(epoch_loss) / max(epoch_count, 1)
                 result = self.validate()
                 if result is not None:
                     self.logger.log_validation(step, self.data.epoch,
