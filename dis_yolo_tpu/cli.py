@@ -87,7 +87,13 @@ def cmd_eval(args):
     evaluator = Evaluator(cfg, args.phase, with_semantic=True)
     val = DefectValData(cfg, args.phase)
     images, names, windows = val.get()
-    run = api.make_jitted_predict(model)
+    mesh = None
+    if getattr(args, "data_parallel", False):
+        from dis_yolo_tpu.parallel.sharding import make_mesh, replicate
+        mesh = make_mesh()
+        # checkpoint restore commits weights to one device; spread them
+        variables = replicate(mesh, variables)
+    run = api.make_jitted_predict(model, mesh=mesh)
 
     import time
     detdata, t_pred = [], 0.0
@@ -215,6 +221,8 @@ def main(argv=None):
     _add_common(p)
     p.add_argument("--phase", default="test", choices=["val", "test"])
     p.add_argument("--checkpoint", default=None)
+    p.add_argument("--data-parallel", action="store_true",
+                   help="shard the eval batch over all local devices")
     p.set_defaults(fn=cmd_eval)
 
     p = sub.add_parser("verify-gt", help="render GT verification overlays")

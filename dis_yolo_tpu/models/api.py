@@ -79,12 +79,33 @@ def _on_tpu() -> bool:
         return False
 
 
-def make_jitted_predict(model: DISYolo, obj_thresh: Optional[float] = None):
+def make_jitted_predict(model: DISYolo, obj_thresh: Optional[float] = None,
+                        mesh=None, dp_axis: str = "dp"):
     """Compile ``predict`` once; variables passed as an argument so folded /
-    updated weights don't retrigger compilation."""
+    updated weights don't retrigger compilation.
 
-    @functools.partial(jax.jit, static_argnums=())
-    def _run(variables, images, windows):
-        return predict(model, variables, images, windows, obj_thresh)
+    With a ``mesh``, the image/window batch is sharded over ``dp_axis`` and
+    the weights replicated — multi-chip batched serving; outputs come back
+    replicated for host-side postprocessing.
+    """
+    if mesh is None:
+        @functools.partial(jax.jit, static_argnums=())
+        def _run(variables, images, windows):
+            return predict(model, variables, images, windows, obj_thresh)
+        return _run
 
-    return _run
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    bsh = NamedSharding(mesh, P(dp_axis))
+    repl = NamedSharding(mesh, P())
+
+    @jax.jit
+    def _run_dp(variables, images, windows):
+        images = jax.lax.with_sharding_constraint(images, bsh)
+        windows = jax.lax.with_sharding_constraint(windows, bsh)
+        variables = jax.tree.map(
+            lambda x: jax.lax.with_sharding_constraint(x, repl), variables)
+        dets, masks = predict(model, variables, images, windows, obj_thresh)
+        return (jax.lax.with_sharding_constraint(dets, repl),
+                jax.lax.with_sharding_constraint(masks, repl))
+
+    return _run_dp

@@ -102,3 +102,20 @@ def test_host_local_to_global_single_process(mesh):
     assert g["x"].shape == (8, 4)
     np.testing.assert_array_equal(np.asarray(g["x"]), batch["x"])
     assert len(g["x"].sharding.device_set) == 8
+
+
+def test_dp_predict_matches_single_device(small_cfg, mesh):
+    """Batch-DP serving path: same detections as the unsharded predict."""
+    cfg = small_cfg
+    model = api.create_model(cfg)
+    v = api.init_variables(cfg, jax.random.PRNGKey(0))
+    img = jnp.asarray(np.random.RandomState(2)
+                      .rand(8, cfg.image_size, cfg.image_size, 3)
+                      .astype(np.float32))
+    win = jnp.tile(jnp.asarray([[0., 0., 1., 1.]]), (8, 1))
+    want = api.make_jitted_predict(model, obj_thresh=1e-6)(v, img, win)
+    got = api.make_jitted_predict(model, obj_thresh=1e-6, mesh=mesh)(v, img, win)
+    # per-image computation is untouched by batch sharding (no cross-image
+    # reductions), so scores line up tightly
+    np.testing.assert_allclose(np.asarray(want[0])[..., 5],
+                               np.asarray(got[0])[..., 5], rtol=1e-2, atol=1e-3)
