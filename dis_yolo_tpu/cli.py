@@ -98,6 +98,11 @@ def cmd_eval(args):
     import time
     detdata, t_pred = [], 0.0
     b = cfg.batch_size
+    # compile outside the timed loop (calculate_test_map times only steady
+    # state in spirit: its published number excludes graph build)
+    warm = jnp.zeros((b,) + images.shape[1:], images.dtype)
+    np.asarray(run(variables, warm,
+                   jnp.tile(jnp.asarray([0., 0., 1., 1.]), (b, 1)))[0])
     for v in range(0, len(names), b):
         imgs, wins = images[v:v + b], windows[v:v + b]
         pad = b - imgs.shape[0]
@@ -109,14 +114,13 @@ def cmd_eval(args):
         t0 = time.time()
         dets, masks = run(variables, jnp.asarray(imgs), jnp.asarray(wins))
         dets, masks = np.asarray(dets), np.asarray(masks)
-        if v > 0:  # skip compile step in the timing
-            t_pred += time.time() - t0
+        t_pred += time.time() - t0
         for i in range(min(b, len(names) - v)):
             detdata.append({"imname": names[v + i], "boxes": dets[i],
                             "masks": masks[i]})
     res = evaluator.evaluate_detections(detdata, collect_semantic=True)
     miou = evaluator.miou(res.pop("semantic_maps"))
-    n_timed = max(len(names) - b, 1)
+    n_timed = max(len(names), 1)
     print(json.dumps({"AP": res["AP"], "mAP": res["mAP"],
                       "recall": res["recall"], "precision": res["precision"],
                       "iou": miou["iou"], "miou": miou["miou"],

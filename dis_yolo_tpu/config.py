@@ -94,6 +94,10 @@ class DISYoloConfig:
     # step (data/device_augment.py); pair with
     # DefectTrainData(host_augs=False).
     device_side_augs: bool = False
+    # Fused Pallas NMS kernel (suppression matrix VMEM-resident).  Exact
+    # parity with the jnp path and ~10% faster; off by default because the
+    # serial select-rounds dominate either way.
+    use_pallas_nms: bool = False
     # conv layer ids (1-based, matching reference scope names) that are
     # frozen.  Stage 1 = backbone 1..52 locked (yolo3_net_pos.py:155-156).
     locked_layers: Tuple[int, ...] = tuple(range(1, 53))

@@ -99,8 +99,13 @@ def filter_detections_single(conf: jnp.ndarray, class_prob: jnp.ndarray,
     top_valid = top_score > obj_thresh
 
     d = cfg.max_detection
-    picked = _select_suppress_nms(top_boxes, top_score, top_class, top_valid,
-                                  cfg.iou_threshold, d)               # [D]
+    if cfg.use_pallas_nms and jax.default_backend() not in ("cpu", "gpu"):
+        from dis_yolo_tpu.ops.pallas_nms import nms_pallas
+        picked = nms_pallas(top_boxes, top_score, top_class, top_valid,
+                            d, cfg.iou_threshold)                     # [D]
+    else:
+        picked = _select_suppress_nms(top_boxes, top_score, top_class,
+                                      top_valid, cfg.iou_threshold, d)
     safe = jnp.maximum(picked, 0)
     out_valid = picked >= 0
     det = jnp.concatenate([
