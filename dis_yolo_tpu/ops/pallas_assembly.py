@@ -43,23 +43,27 @@ def _assembly_kernel(boxes_ref, sm_ref, out_ref, *, k: int, size: int,
     gy = [y1] + [jnp.round(y1 + i * sub_h) for i in range(1, k)] + [y2]
     gx = [x1] + [jnp.round(x1 + i * sub_w) for i in range(1, k)] + [x2]
 
-    # tpu.iota only produces integers; cast for the float grid-line compares
-    rows = jax.lax.broadcasted_iota(jnp.int32, (size, size), 0).astype(jnp.float32)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (size, size), 1).astype(jnp.float32)
+    # Separable formulation: the (ky, kx) cell mask is the outer product of
+    # a row-bin indicator [S,1] and a col-bin indicator [1,S], so
+    #   acc = sum_ky row[ky] * (sum_kx sm[ky*k+kx] * col[kx])
+    # costs k*(k+2) fused multiply-adds per pixel instead of ~5*k^2
+    # predicated selects.  tpu.iota only produces integers; cast once.
+    rows = jax.lax.broadcasted_iota(jnp.int32, (size, 1), 0).astype(jnp.float32)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, size), 1).astype(jnp.float32)
 
-    row_bin = jnp.zeros((size, size), jnp.int32)
-    col_bin = jnp.zeros((size, size), jnp.int32)
-    for i in range(1, k):
-        row_bin += (rows >= gy[i]).astype(jnp.int32)
-        col_bin += (cols >= gx[i]).astype(jnp.int32)
-    inside = (rows >= gy[0]) & (rows < gy[k]) & (cols >= gx[0]) & (cols < gx[k])
+    row_ind = [((rows >= gy[i]) & (rows < gy[i + 1])).astype(jnp.float32)
+               for i in range(k)]                     # k x [S,1]
+    col_ind = [((cols >= gx[i]) & (cols < gx[i + 1])).astype(jnp.float32)
+               for i in range(k)]                     # k x [1,S]
 
     acc = jnp.zeros((size, size), jnp.float32)
     for ky in range(k):
+        inner = jnp.zeros((size, size), jnp.float32)
         for kx in range(k):
-            sel = inside & (row_bin == ky) & (col_bin == kx)
-            acc += jnp.where(sel, sm_ref[ky * k + kx, :, :], 0.0)
+            inner += sm_ref[ky * k + kx, :, :] * col_ind[kx]
+        acc += row_ind[ky] * inner
     if apply_sigmoid:
+        inside = (rows >= gy[0]) & (rows < gy[k]) & (cols >= gx[0]) & (cols < gx[k])
         acc = jnp.where(inside, jax.nn.sigmoid(acc), 0.0)
     out_ref[0, :, :] = acc
 
