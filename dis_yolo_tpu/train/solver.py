@@ -118,6 +118,7 @@ class Solver:
 
     # ------------------------------------------------------------------
     def train(self, max_iter: Optional[int] = None):
+        from dis_yolo_tpu.utils.runtime import device_prefetch
         cfg = self.cfg
         max_iter = max_iter or cfg.max_iter
         load_timer, train_timer = Timer(), Timer()
@@ -125,10 +126,20 @@ class Solver:
         epoch_loss, epoch_count = 0.0, 0
 
         start = int(self.state.step) + 1
+        if start > max_iter:
+            return self.state
+        # host loader thread -> async device transfers two batches ahead
+        # so upload overlaps the previous step's compute
+        sharding = None
+        if self.mesh is not None:
+            from dis_yolo_tpu.parallel.sharding import batch_sharding
+            sharding = batch_sharding(self.mesh, cfg.dp_axis)
+        batches = device_prefetch(
+            (self.data.next_prefetched() for _ in range(start, max_iter + 1)),
+            size=2, sharding=sharding)
         for step in range(start, max_iter + 1):
             load_timer.tic()
-            batch = self.data.next_prefetched()
-            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            batch = next(batches)
             load_timer.toc()
 
             train_timer.tic()
