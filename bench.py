@@ -37,6 +37,9 @@ def main() -> None:
     from dis_yolo_tpu.config import DISYoloConfig
     from dis_yolo_tpu.models import api
     from dis_yolo_tpu.models.fold import fold_batchnorm
+    from dis_yolo_tpu.utils.runtime import enable_compilation_cache
+
+    enable_compilation_cache()   # repeat runs skip the multi-minute compile
 
     cfg = DISYoloConfig()
     model = api.create_model(cfg)

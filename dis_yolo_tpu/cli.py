@@ -249,6 +249,8 @@ def main(argv=None):
     p.set_defaults(fn=cmd_convert_tf1)
 
     args = parser.parse_args(argv)
+    from dis_yolo_tpu.utils.runtime import enable_compilation_cache
+    enable_compilation_cache()
     return args.fn(args)
 
 
