@@ -30,8 +30,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _assembly_kernel(boxes_ref, sm_ref, out_ref, *, k: int, size: int,
-                     apply_sigmoid: bool):
-    d = pl.program_id(0)
+                     apply_sigmoid: bool, boxes_per_program: int):
+    g = pl.program_id(0)
+    # several boxes per program: per-grid-step overhead (~30 us on this
+    # backend) would otherwise dominate the whole kernel at grid=(30,)
+    for slot in range(boxes_per_program):
+        d = g * boxes_per_program + slot
+        _assemble_one(boxes_ref, sm_ref, out_ref, d, slot, k=k, size=size,
+                      apply_sigmoid=apply_sigmoid)
+
+
+def _assemble_one(boxes_ref, sm_ref, out_ref, d, slot, *, k: int, size: int,
+                  apply_sigmoid: bool):
     y1 = boxes_ref[d, 0]
     x1 = boxes_ref[d, 1]
     y2 = boxes_ref[d, 2]
@@ -65,7 +75,7 @@ def _assembly_kernel(boxes_ref, sm_ref, out_ref, *, k: int, size: int,
     if apply_sigmoid:
         inside = (rows >= gy[0]) & (rows < gy[k]) & (cols >= gx[0]) & (cols < gx[k])
         acc = jnp.where(inside, jax.nn.sigmoid(acc), 0.0)
-    out_ref[0, :, :] = acc
+    out_ref[slot, :, :] = acc
 
 
 @functools.partial(jax.jit, static_argnames=("k", "apply_sigmoid", "interpret"))
@@ -82,13 +92,22 @@ def assemble_masks_pallas(scoremap: jnp.ndarray, boxes_norm: jnp.ndarray,
     sm_cf = jnp.transpose(scoremap, (2, 0, 1)).astype(jnp.float32)
     boxes_px = jnp.round(boxes_norm.astype(jnp.float32) * size)
 
+    # largest boxes-per-program divisor keeping the output block <= ~2 MB
+    bpp = 1
+    budget = max(1, (2 * 1024 * 1024) // (size * size * 4))
+    for cand in range(min(d, budget), 0, -1):
+        if d % cand == 0:
+            bpp = cand
+            break
+
     kernel = functools.partial(_assembly_kernel, k=k, size=size,
-                               apply_sigmoid=apply_sigmoid)
+                               apply_sigmoid=apply_sigmoid,
+                               boxes_per_program=bpp)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,              # boxes go to SMEM
-        grid=(d,),
+        grid=(d // bpp,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],   # full scoremap
-        out_specs=pl.BlockSpec((1, size, size),
+        out_specs=pl.BlockSpec((bpp, size, size),
                                lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
     )
