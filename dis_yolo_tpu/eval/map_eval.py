@@ -35,11 +35,41 @@ class Evaluator:
         self.phase = phase
         self.with_semantic = with_semantic
         self.class_to_ind = cfg.class_to_ind()
-        if annotations is None:
+        from_disk = annotations is None
+        if from_disk:
+            cache = self._gt_cache_path() if use_cache else None
+            if cache and os.path.isfile(cache):
+                # rasterized-GT disk cache (reference gt_labels_<phase>.pkl
+                # behavior, validation_map.py:28-34)
+                with open(cache, "rb") as f:
+                    blob = pickle.load(f)
+                if not self.with_semantic or blob["gt_semantic"]:
+                    self.index = blob["index"]
+                    self.gt_masks = blob["gt_masks"]
+                    self.gt_semantic = blob["gt_semantic"]
+                    self.gt_sizes = blob["gt_sizes"]
+                    return
             annotations, index = self._load_annotations(use_cache)
         self.index = list(index)
         (self.gt_masks, self.gt_semantic, self.gt_sizes) = \
             self._rasterize_groundtruth(annotations)
+        if from_disk and use_cache:
+            cache = self._gt_cache_path()
+            if cache:
+                try:
+                    with open(cache, "wb") as f:
+                        pickle.dump({"index": self.index,
+                                     "gt_masks": self.gt_masks,
+                                     "gt_semantic": self.gt_semantic,
+                                     "gt_sizes": self.gt_sizes}, f)
+                except OSError:
+                    pass
+
+    def _gt_cache_path(self):
+        cache_dir = os.path.join(self.cfg.data_path(self.phase), "cache")
+        if not os.path.isdir(cache_dir):
+            return None
+        return os.path.join(cache_dir, f"gt_rasterized_{self.phase}.pkl")
 
     # ------------------------------------------------------------------
     def _load_annotations(self, use_cache: bool):
