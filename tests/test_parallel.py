@@ -119,3 +119,22 @@ def test_dp_predict_matches_single_device(small_cfg, mesh):
     # reductions), so scores line up tightly
     np.testing.assert_allclose(np.asarray(want[0])[..., 5],
                                np.asarray(got[0])[..., 5], rtol=1e-2, atol=1e-3)
+
+
+def test_2d_mesh_dp_x_sp(small_cfg):
+    """Composed data + spatial parallelism on a (2, 4) mesh."""
+    from jax.sharding import Mesh
+    cfg = small_cfg
+    model = api.create_model(cfg)
+    v = api.init_variables(cfg, jax.random.PRNGKey(0))
+    img = jnp.asarray(np.random.RandomState(5)
+                      .rand(2, cfg.image_size, cfg.image_size, 3)
+                      .astype(np.float32))
+    want = api.forward(model, v, img)
+
+    mesh2d = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 4), ("dp", "sp"))
+    run = spatial.spatial_forward(model, mesh2d, sp_axis="sp", dp_axis="dp")
+    got = run(v, img)
+    for i, (a, b) in enumerate(zip(want, got)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-2, atol=3e-3, err_msg=f"out {i}")
