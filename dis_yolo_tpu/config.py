@@ -63,6 +63,8 @@ class DISYoloConfig:
     class_scale: float = 1.0
     coord_scale: float = 1.0
     mask_scale: float = 5.0
+    # defined but never consumed by the reference either (config.py:54 has
+    # no reader anywhere in the repo); kept for config-surface parity
     score_scale: float = 2.0
     l2_scale: float = 1e-4          # tf.contrib l2_regularizer scale
     ignore_thresh: float = 0.5      # iou above which no-obj conf loss ignored
