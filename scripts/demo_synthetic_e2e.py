@@ -53,7 +53,11 @@ def main():
     data.start_prefetch()
     model = api.create_model(cfg)
     v = api.init_variables(cfg, jax.random.PRNGKey(0))
-    tx = ts.make_optimizer(v["params"], cfg, lr_schedule=lambda s: 1e-3)
+    # reference-style decay (constant 1e-3 destabilizes the crack class
+    # past ~2k steps on the tiny synthetic set)
+    def lr(s):
+        return jnp.where(s < 2000, 1e-3, 1e-4)
+    tx = ts.make_optimizer(v["params"], cfg, lr_schedule=lr)
     state = ts.TrainState(v["params"], v["batch_stats"],
                           tx.init(v["params"]), jnp.asarray(0))
 
