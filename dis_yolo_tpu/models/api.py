@@ -52,6 +52,12 @@ def predict(model: DISYolo, variables: Dict[str, Any], images: jnp.ndarray,
     """
     cfg = model.cfg
     raws = forward(model, variables, images, train=False)
+    # the mask-assembly pixel quantization is square-only, exactly like the
+    # reference's val_test which uses shape[1] for both axes
+    # (yolo3_net_pos.py:873); letterbox non-square inputs first.
+    assert raws[3].shape[1] == raws[3].shape[2], (
+        "predict requires square inputs (letterbox first); got score maps "
+        f"{raws[3].shape}")
     preds = decode_all(raws[:3], cfg)
     dets = nms.filter_detections(preds, windows, cfg, obj_thresh)
     # drop degenerate boxes whose rounded score-map extent is non-positive
