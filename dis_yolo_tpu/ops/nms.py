@@ -9,10 +9,11 @@ a batched masked computation:
      (yolo3_net_pos.py:544-548)
   2. cxcywh -> yxyx, clip to per-image window (":552-555")
   3. validity = conf > obj_threshold (strict, ":558")
-  4. top-K score-sorted shortlist, greedy *per-class* suppression at
-     IoU > iou_threshold (":565-592"), O(K^2) with a lax.fori_loop
-  5. keep top ``max_detection`` survivors sorted by score, zero-padded rows
-     of (y1, x1, y2, x2, classid, conf) (":607-627")
+  4. top-K score-sorted shortlist, then ``max_detection`` select-and-
+     suppress rounds with *per-class* suppression at IoU > iou_threshold
+     (equivalent to ":565-592" greedy order; optional fused Pallas kernel)
+  5. the picked survivors come out score-sorted, zero-padded rows of
+     (y1, x1, y2, x2, classid, conf) (":607-627")
 
 Everything is vmapped over the batch; output shape is [B, max_detection, 6].
 """
