@@ -137,10 +137,22 @@ class Solver:
         batches = device_prefetch(
             (self.data.next_prefetched() for _ in range(start, max_iter + 1)),
             size=2, sharding=sharding)
+        dump_hlo = bool(os.environ.get("DIS_YOLO_DUMP_HLO"))
         for step in range(start, max_iter + 1):
             load_timer.tic()
             batch = next(batches)
             load_timer.toc()
+
+            if dump_hlo:  # tf.summary graph-dump analog (train_yolo3_mask.py:115)
+                dump_hlo = False
+                try:
+                    text = self.step_fn.lower(self.state, batch,
+                                              jax.random.PRNGKey(0)).as_text()
+                    with open(os.path.join(self.ckpt_dir,
+                                           "train_step.stablehlo.txt"), "w") as f:
+                        f.write(text)
+                except Exception as e:
+                    print(f"HLO dump failed: {e}")
 
             train_timer.tic()
             self.rng, key = jax.random.split(self.rng)
