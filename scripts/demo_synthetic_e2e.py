@@ -62,15 +62,19 @@ def main():
                           tx.init(v["params"]), jnp.asarray(0))
 
     ckpt_glob = os.path.join(args.root, "demo_weights_step*.npy")
-    cks = sorted(glob.glob(ckpt_glob))
     start = 0
-    if cks:
-        blob = np.load(cks[-1], allow_pickle=True).item()
+    for ck in sorted(glob.glob(ckpt_glob), reverse=True):
+        try:  # a kill mid-save truncates the newest file: fall back
+            blob = np.load(ck, allow_pickle=True).item()
+        except Exception:
+            print(f"skipping corrupt checkpoint {ck}")
+            continue
         p = jax.tree.map(jnp.asarray, blob["params"])
         state = ts.TrainState(p, jax.tree.map(jnp.asarray, blob["batch_stats"]),
                               tx.init(p), jnp.asarray(blob["step"]))
         start = blob["step"]
         print(f"resumed at step {start}")
+        break
 
     step_fn = ts.make_jitted_train_step(model, tx)
     rng = jax.random.PRNGKey(1)
@@ -84,10 +88,14 @@ def main():
                   f"({(time.time() - t0) / (i - start):.2f} s/step)",
                   flush=True)
         if i % 400 == 0:
-            np.save(ckpt_glob.replace("*", f"{i:06d}"),
+            path = ckpt_glob.replace("*", f"{i:06d}")
+            np.save(path + ".tmp.npy",
                     {"params": jax.tree.map(np.asarray, state.params),
                      "batch_stats": jax.tree.map(np.asarray, state.batch_stats),
                      "step": i}, allow_pickle=True)
+            os.replace(path + ".tmp.npy.npy"
+                       if os.path.exists(path + ".tmp.npy.npy")
+                       else path + ".tmp.npy", path)   # atomic publish
     data.stop()
 
     variables = {"params": state.params, "batch_stats": state.batch_stats}
