@@ -40,10 +40,15 @@ class Evaluator:
             cache = self._gt_cache_path() if use_cache else None
             if cache and os.path.isfile(cache):
                 # rasterized-GT disk cache (reference gt_labels_<phase>.pkl
-                # behavior, validation_map.py:28-34)
-                with open(cache, "rb") as f:
-                    blob = pickle.load(f)
-                if not self.with_semantic or blob["gt_semantic"]:
+                # behavior, validation_map.py:28-34); unreadable caches
+                # (e.g. truncated by a crash mid-write) trigger a rebuild
+                try:
+                    with open(cache, "rb") as f:
+                        blob = pickle.load(f)
+                except Exception:
+                    blob = None
+                if blob is not None and (not self.with_semantic
+                                         or blob["gt_semantic"]):
                     self.index = blob["index"]
                     self.gt_masks = blob["gt_masks"]
                     self.gt_semantic = blob["gt_semantic"]

@@ -136,3 +136,38 @@ def test_empty_detections(synthetic_eval):
     m = ev.miou(res["semantic_maps"])
     # background IoU is high, defect classes 0
     assert m["iou"][0] > 0.5 and m["iou"][1] == 0.0
+
+
+def test_evaluator_rasterized_cache_roundtrip(tmp_path, rng):
+    """Second Evaluator construction loads the rasterized-GT disk cache."""
+    import os
+    import pickle
+    cv2 = pytest.importorskip("cv2")
+    from dis_yolo_tpu.data.preprocess import build_ground_truth_cache
+    from dis_yolo_tpu.data.synthetic import generate_dataset
+
+    root = str(tmp_path)
+    generate_dataset(root, phases=("val",), images_per_phase=3,
+                     image_size=128, seed=9)
+    build_ground_truth_cache(root, "val")
+    cfg = DISYoloConfig(dataset=root, test_size=96)
+
+    ev1 = Evaluator(cfg, "val", with_semantic=True)
+    cache = os.path.join(root, "val", "cache", "gt_rasterized_val.pkl")
+    assert os.path.isfile(cache)
+
+    ev2 = Evaluator(cfg, "val", with_semantic=True)
+    assert ev2.index == ev1.index
+    for stem in ev1.index:
+        assert len(ev2.gt_masks[stem]) == len(ev1.gt_masks[stem])
+        np.testing.assert_array_equal(ev2.gt_semantic[stem],
+                                      ev1.gt_semantic[stem])
+
+    # a corrupt cache (e.g. truncated by a crash mid-write) is rebuilt
+    with open(cache, "wb") as f:
+        f.write(b"garbage")
+    ev3 = Evaluator(cfg, "val", with_semantic=True)
+    assert ev3.index == ev1.index
+    for stem in ev1.index:
+        np.testing.assert_array_equal(ev3.gt_semantic[stem],
+                                      ev1.gt_semantic[stem])
