@@ -19,13 +19,19 @@ def _add_common(p):
     p.add_argument("--image-size", type=int, default=576)
     p.add_argument("--batch-size", type=int, default=2)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--mask-stride", type=int, default=2, choices=[1, 2, 4],
+                   help="mask-decoder output stride (reference variants)")
+    p.add_argument("--k-map", type=int, default=3,
+                   help="k for the k^2 position-sensitive score maps")
 
 
 def _make_cfg(args, **overrides):
     from dis_yolo_tpu.config import DISYoloConfig
     kw = dict(dataset=args.dataset, output_dir=args.output_dir,
               image_size=args.image_size, test_size=args.image_size,
-              batch_size=args.batch_size)
+              batch_size=args.batch_size,
+              mask_stride=getattr(args, "mask_stride", 2),
+              k_map=getattr(args, "k_map", 3))
     kw.update(overrides)
     return DISYoloConfig(**kw)
 
