@@ -84,14 +84,18 @@ def mask_loss_single(key: jax.Array, scoremap: jnp.ndarray, detections: jnp.ndar
 
     rois_px = jnp.round(rois * float(s))                     # (:842)
 
-    def per_roi(box_px, gt_mask):
-        logits = assemble_mask_single(scoremap, box_px, cfg.k_map)
-        inside = box_inside_mask(box_px, s)
-        num = jnp.sum(inside * _bce_with_logits(gt_mask, logits))
-        den = jnp.maximum(jnp.sum(inside), 1.0)
-        return num / den
-
-    per_roi_loss = jax.vmap(per_roi)(rois_px, roi_gt_mask)   # [10]
+    if cfg.use_pallas_assembly and jax.default_backend() not in ("cpu", "gpu"):
+        # fused custom-VJP kernel: the jnp gather formulation under autodiff
+        # is ~2/3 of the whole train-step gradient time (BENCHMARKS.md)
+        from dis_yolo_tpu.ops.pallas_assembly import assemble_masks_trainable
+        logits = assemble_masks_trainable(scoremap, rois_px, cfg.k_map)
+    else:
+        logits = jax.vmap(
+            lambda b: assemble_mask_single(scoremap, b, cfg.k_map))(rois_px)
+    inside = jax.vmap(lambda b: box_inside_mask(b, s))(rois_px)  # [10,S,S]
+    num = jnp.sum(inside * _bce_with_logits(roi_gt_mask, logits), axis=(1, 2))
+    den = jnp.maximum(jnp.sum(inside, axis=(1, 2)), 1.0)
+    per_roi_loss = num / den                                  # [10]
     n_pos = jnp.sum(positive.astype(jnp.float32))
     mean_pos = jnp.sum(per_roi_loss * positive) / jnp.maximum(n_pos, 1.0)
     return jnp.where(n_pos > 0, cfg.mask_scale * mean_pos, 0.0)

@@ -126,3 +126,114 @@ def assemble_masks_batch_pallas(scoremaps: jnp.ndarray, boxes_norm: jnp.ndarray,
     fn = lambda sm, bx: assemble_masks_pallas(sm, bx, k, apply_sigmoid,
                                               interpret)
     return jax.vmap(fn)(scoremaps, boxes_norm)
+
+
+# ---------------------------------------------------------------------------
+# differentiable (custom-VJP) variant for the training path
+# ---------------------------------------------------------------------------
+
+def _assembly_px(scoremap_cf: jnp.ndarray, boxes_px: jnp.ndarray, k: int,
+                 interpret: bool) -> jnp.ndarray:
+    """Forward on channels-first score maps and already-rounded px boxes."""
+    size = scoremap_cf.shape[1]
+    d = boxes_px.shape[0]
+    bpp = 1
+    budget = max(1, (2 * 1024 * 1024) // (size * size * 4))
+    for cand in range(min(d, budget), 0, -1):
+        if d % cand == 0:
+            bpp = cand
+            break
+    kernel = functools.partial(_assembly_kernel, k=k, size=size,
+                               apply_sigmoid=False, boxes_per_program=bpp)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(d // bpp,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((bpp, size, size), lambda i, *_: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((d, size, size), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(boxes_px, scoremap_cf)
+
+
+def _assembly_bwd_kernel(boxes_ref, g_ref, out_ref, *, k: int, size: int):
+    """d(loss)/d(scoremap): out[ky*k+kx] = sum_d g[d] * row_d[ky] x col_d[kx].
+
+    grid=(D,) with a constant output block: Pallas keeps the accumulator
+    resident across grid steps (revolving buffer); step 0 initializes.
+    """
+    d = pl.program_id(0)
+    y1 = boxes_ref[d, 0]
+    x1 = boxes_ref[d, 1]
+    y2 = boxes_ref[d, 2]
+    x2 = boxes_ref[d, 3]
+    sub_h = (y2 - y1) / k
+    sub_w = (x2 - x1) / k
+    gy = [y1] + [jnp.round(y1 + i * sub_h) for i in range(1, k)] + [y2]
+    gx = [x1] + [jnp.round(x1 + i * sub_w) for i in range(1, k)] + [x2]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (size, 1), 0).astype(jnp.float32)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, size), 1).astype(jnp.float32)
+    row_ind = [((rows >= gy[i]) & (rows < gy[i + 1])).astype(jnp.float32)
+               for i in range(k)]
+    col_ind = [((cols >= gx[i]) & (cols < gx[i + 1])).astype(jnp.float32)
+               for i in range(k)]
+
+    @pl.when(d == 0)
+    def _():
+        out_ref[:, :, :] = jnp.zeros((k * k, size, size), jnp.float32)
+
+    g = g_ref[0, :, :]
+    for ky in range(k):
+        masked = g * row_ind[ky]
+        for kx in range(k):
+            out_ref[ky * k + kx, :, :] += masked * col_ind[kx]
+
+
+def _assembly_bwd(scoremap_cf_shape, boxes_px: jnp.ndarray, g: jnp.ndarray,
+                  k: int, interpret: bool) -> jnp.ndarray:
+    size = scoremap_cf_shape[1]
+    d = g.shape[0]
+    kernel = functools.partial(_assembly_bwd_kernel, k=k, size=size)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(d,),
+        in_specs=[pl.BlockSpec((1, size, size), lambda i, *_: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),   # full accumulator
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((k * k, size, size), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(boxes_px, g.astype(jnp.float32))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def assemble_masks_trainable(scoremap: jnp.ndarray, boxes_px: jnp.ndarray,
+                             k: int = 3, interpret: bool = False):
+    """Differentiable fused assembly: scoremap [S,S,k*k] (+grad), boxes_px
+    [R,4] rounded yxyx pixels (zero gradient — rounding kills it in the jnp
+    path too) -> logits [R,S,S]."""
+    sm_cf = jnp.transpose(scoremap, (2, 0, 1)).astype(jnp.float32)
+    return _assembly_px(sm_cf, boxes_px.astype(jnp.float32), k, interpret)
+
+
+def _amt_fwd(scoremap, boxes_px, k, interpret):
+    out = assemble_masks_trainable(scoremap, boxes_px, k, interpret)
+    return out, (scoremap.shape, boxes_px.astype(jnp.float32))
+
+
+def _amt_bwd(k, interpret, res, g):
+    scoremap_shape, boxes_px = res
+    cf_shape = (scoremap_shape[2], scoremap_shape[0], scoremap_shape[1])
+    g_cf = _assembly_bwd(cf_shape, boxes_px, g, k, interpret)
+    g_sm = jnp.transpose(g_cf, (1, 2, 0))           # back to [S,S,k*k]
+    return g_sm.astype(jnp.float32), jnp.zeros_like(boxes_px)
+
+
+assemble_masks_trainable.defvjp(_amt_fwd, _amt_bwd)

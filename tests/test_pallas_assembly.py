@@ -57,3 +57,28 @@ def test_batched(case):
     np.testing.assert_array_equal(got[0], want0)
     np.testing.assert_array_equal(got[1], np.asarray(
         ma.assemble_masks(sm * 2.0, boxes, k)))
+
+
+def test_trainable_fwd_and_grad_parity(case):
+    """Custom-VJP kernel: forward and d/d(scoremap) bit-match the jnp path."""
+    import jax
+    from dis_yolo_tpu.ops.pallas_assembly import assemble_masks_trainable
+    sm, boxes, k = case
+    s = sm.shape[0]
+    bpx = jnp.round(boxes * s)
+    want_f = np.asarray(jax.vmap(lambda b: ma.assemble_mask_single(sm, b, k))(bpx))
+    got_f = np.asarray(assemble_masks_trainable(sm, bpx, k, True))
+    np.testing.assert_array_equal(got_f, want_f)
+
+    w = jnp.asarray(np.random.RandomState(3).randn(*want_f.shape).astype(np.float32))
+    g_want = np.asarray(jax.grad(
+        lambda x: jnp.sum(jax.vmap(
+            lambda b: ma.assemble_mask_single(x, b, k))(bpx) * w))(sm))
+    g_got = np.asarray(jax.grad(
+        lambda x: jnp.sum(assemble_masks_trainable(x, bpx, k, True) * w))(sm))
+    np.testing.assert_array_equal(g_got, g_want)
+    # boxes receive zero gradient (round kills it in the jnp path too)
+    gb = jax.grad(lambda b: jnp.sum(assemble_masks_trainable(sm, b, k, True)),
+                  argnums=0)
+    assert np.asarray(jax.grad(
+        lambda b: jnp.sum(assemble_masks_trainable(sm, b, k, True)))(bpx)).max() == 0
