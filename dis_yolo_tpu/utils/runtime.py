@@ -43,8 +43,16 @@ def enable_compilation_cache(cache_dir: Optional[str] = None,
 
 def device_prefetch(batches: Iterable, size: int = 2,
                     sharding=None) -> Iterator:
-    """Yield batches already resident on device, ``size`` transfers ahead."""
+    """Yield batches already resident on device, ``size`` transfers ahead.
+
+    Transfers run on a worker thread: on backends where ``jax.device_put``
+    blocks until the bytes land (e.g. network-attached devices), issuing
+    the put from the consumer thread would serialize upload with compute.
+    """
+    import concurrent.futures
+
     queue: collections.deque = collections.deque()
+    pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
 
     def put(b):
         if sharding is not None:
@@ -54,13 +62,16 @@ def device_prefetch(batches: Iterable, size: int = 2,
     it = iter(batches)
     try:
         while len(queue) < size:
-            queue.append(put(next(it)))
+            queue.append(pool.submit(put, next(it)))
     except StopIteration:
         pass
-    while queue:
-        out = queue.popleft()
-        try:
-            queue.append(put(next(it)))
-        except StopIteration:
-            pass
-        yield out
+    try:
+        while queue:
+            fut = queue.popleft()
+            try:
+                queue.append(pool.submit(put, next(it)))
+            except StopIteration:
+                pass
+            yield fut.result()
+    finally:
+        pool.shutdown(wait=False, cancel_futures=True)
