@@ -74,4 +74,7 @@ def device_prefetch(batches: Iterable, size: int = 2,
                 pass
             yield fut.result()
     finally:
-        pool.shutdown(wait=False, cancel_futures=True)
+        try:
+            pool.shutdown(wait=False, cancel_futures=True)
+        except Exception:   # interpreter teardown: queue module already gone
+            pass
