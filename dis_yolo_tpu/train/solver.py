@@ -172,12 +172,15 @@ class Solver:
                 if result is not None:
                     self.logger.log_validation(step, self.data.epoch,
                                                record_loss, result)
+                    # epoch log line incl. ETA (train_yolo3_mask.py:185-202)
+                    done = step - start + 1
                     print(f"Step {step} epoch {self.data.epoch} "
                           f"loss {record_loss:.3f} "
                           f"AP {['%.3f' % a for a in result['AP']]} "
                           f"mAP50 {result['mAP']:.3f} "
                           f"speed {train_timer.average_time:.3f}s/it "
-                          f"load {load_timer.average_time:.3f}s/it")
+                          f"load {load_timer.average_time:.3f}s/it "
+                          f"remain {train_timer.remain(done, max_iter - start + 1)}")
                 epoch_loss, epoch_count = 0.0, 0
                 ckpt.save_checkpoint(self.ckpt_dir, self.state, step)
                 self.logger.save_val_history(self.loss_dir, step)

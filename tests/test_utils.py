@@ -13,13 +13,27 @@ from dis_yolo_tpu.utils.visualize import blend_mask, draw_instances
 
 
 def test_timer_average_and_remain():
+    # deterministic fake clock: each call advances 1s
+    ticks = iter(range(1000))
+    t = Timer(clock=lambda: float(next(ticks)))
+    t.tic()                      # clock 1
+    assert t.toc(average=False) == 1.0   # clock 2
+    with t.span():               # clock 3 .. 4
+        pass
+    assert t.calls == 2 and t.average_time == 1.0 and t.total_time == 2.0
+    # remain extrapolates from *construction* (clock 0): at clock 5 with
+    # 5/10 iters done, lifetime 5s -> 5s remain (reference init_time rule)
+    assert t.remain(5, 10) == "0:00:05"
+    assert t.remain(0, 10) == "0:00:00"
+
+
+def test_timer_toc_requires_tic():
     t = Timer()
-    t.tic()
-    t.toc()
-    assert t.calls == 1 and t.average_time >= 0
-    t.tic()
-    out = t.remain(5, 10)
-    assert isinstance(out, str) and ":" in out
+    try:
+        t.toc()
+    except RuntimeError:
+        return
+    raise AssertionError("toc() without tic() must raise")
 
 
 def test_metric_logger_jsonl_and_history(tmp_path):
