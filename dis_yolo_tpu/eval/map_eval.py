@@ -122,6 +122,11 @@ class Evaluator:
         ``self.index``.  Returns {'AP': [c], 'mAP', 'recall', 'precision'}
         (validation_map.py:172-196) plus per-image semantic maps when
         requested (for mIoU).
+
+        Entries may instead carry device-pasted outputs
+        (``ops.paste.paste_masks_batch``): 'full_masks' [D,H,W] bool,
+        'valid' [D], 'semantic' [H,W] uint8 — the on-device equivalent of
+        the host crop/resize/paste, skipping ``detections_to_original``.
         """
         assert len(detdata) == len(self.index)
         per_class: Dict[int, List[Dict]] = {c: [] for c in
@@ -131,6 +136,20 @@ class Evaluator:
             stem = det["imname"]
             assert stem == self.index[i]
             h, w = self.gt_sizes[stem]
+            if "full_masks" in det:           # device-pasted fast path
+                boxes = np.asarray(det["boxes"])
+                full = np.asarray(det["full_masks"])
+                valid = np.asarray(det["valid"])
+                assert full.shape[1:] == (h, w)
+                for k in range(full.shape[0]):
+                    if not valid[k]:
+                        continue
+                    per_class[int(boxes[k, 4])].append(
+                        {"imageid": stem, "score": float(boxes[k, 5]),
+                         "mask": full[k]})
+                if collect_semantic:
+                    semantic_maps[stem] = np.asarray(det["semantic"])
+                continue
             merged = np.zeros((h, w), np.uint8) if collect_semantic else None
             if np.sum(det["masks"]) != 0.0:
                 insts = detections_to_original(
@@ -177,10 +196,9 @@ class Evaluator:
             t = self.gt_semantic[stem]
             p = pred_semantic[stem]
             assert t.shape == p.shape
-            for ti in range(n):
-                tm = t == ti
-                for pi in range(n):
-                    conf[ti, pi] += int(np.sum(tm & (p == pi)))
+            # one O(H*W) bincount pass per image over joint labels n*t+p
+            joint = t.astype(np.int64).ravel() * n + p.astype(np.int64).ravel()
+            conf += np.bincount(joint, minlength=n * n).reshape(n, n)
         ious = []
         for c in range(n):
             inter = conf[c, c]

@@ -138,6 +138,34 @@ def test_empty_detections(synthetic_eval):
     assert m["iou"][0] > 0.5 and m["iou"][1] == 0.0
 
 
+def test_miou_bincount_matches_loop_oracle(rng):
+    """Vectorized confusion pass == the reference's per-class loop totals
+    (calculate_test_map.py:304-345) on random semantic maps."""
+    cfg = DISYoloConfig()
+    ev = Evaluator(cfg, "test", with_semantic=True, annotations=[], index=[])
+    n = cfg.num_class + 1
+    ev.index = ["a", "b"]
+    ev.gt_semantic = {s: rng.randint(0, n, (37, 23)).astype(np.uint8)
+                      for s in ev.index}
+    pred = {s: rng.randint(0, n, (37, 23)).astype(np.uint8) for s in ev.index}
+
+    got = ev.miou(pred)
+
+    conf = np.zeros((n, n), np.int64)
+    for s in ev.index:
+        t, p = ev.gt_semantic[s], pred[s]
+        for ti in range(n):
+            for pi in range(n):
+                conf[ti, pi] += int(np.sum((t == ti) & (p == pi)))
+    want = []
+    for c in range(n):
+        inter = conf[c, c]
+        union = conf[:, c].sum() + conf[c, :].sum() - inter
+        want.append(inter / union if union > 0 else 0.0)
+    np.testing.assert_allclose(got["iou"], want)
+    assert got["miou"] == pytest.approx(float(np.mean(want)))
+
+
 def test_evaluator_rasterized_cache_roundtrip(tmp_path, rng):
     """Second Evaluator construction loads the rasterized-GT disk cache."""
     import os
