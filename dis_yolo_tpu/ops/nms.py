@@ -79,6 +79,33 @@ def _select_suppress_nms(boxes: jnp.ndarray, scores: jnp.ndarray,
     return picked                                                   # [max_det]
 
 
+def _select_suppress_nms_full(boxes: jnp.ndarray, scores: jnp.ndarray,
+                              classids: jnp.ndarray, valid: jnp.ndarray,
+                              iou_thresh: float, max_det: int) -> jnp.ndarray:
+    """Exact greedy NMS over the FULL candidate set, matrix-free.
+
+    Same semantics as ``_select_suppress_nms`` but the winner's IoU row is
+    computed on the fly each round (O(N) per round, ``max_det`` rounds) —
+    no K x K matrix, so it scales to all ~20k anchors of a 576px image.
+    Used as the lossless fallback when the top-K shortlist underfills.
+    """
+    n = scores.shape[0]
+    idx = jnp.arange(n)
+
+    def body(alive, _):
+        s = jnp.where(alive, scores, -jnp.inf)
+        j = jnp.argmax(s)
+        ok = s[j] > -jnp.inf
+        row = box_ops.iou_matrix_yxyx(boxes[j][None], boxes)[0]     # [N]
+        suppress = (row > iou_thresh) & (classids == classids[j])
+        alive = alive & jnp.logical_not(suppress) & (idx != j)
+        alive = jnp.where(ok, alive, jnp.zeros_like(alive))
+        return alive, jnp.where(ok, j, -1)
+
+    _, picked = jax.lax.scan(body, valid, None, length=max_det)
+    return picked                                                   # [max_det]
+
+
 def filter_detections_single(conf: jnp.ndarray, class_prob: jnp.ndarray,
                              coord_cxcywh: jnp.ndarray, window: jnp.ndarray,
                              cfg: DISYoloConfig, obj_thresh) -> jnp.ndarray:
@@ -102,17 +129,33 @@ def filter_detections_single(conf: jnp.ndarray, class_prob: jnp.ndarray,
     d = cfg.max_detection
     if cfg.use_pallas_nms and jax.default_backend() not in ("cpu", "gpu"):
         from dis_yolo_tpu.ops.pallas_nms import nms_pallas
-        picked = nms_pallas(top_boxes, top_score, top_class, top_valid,
-                            d, cfg.iou_threshold)                     # [D]
+        picked_local = nms_pallas(top_boxes, top_score, top_class, top_valid,
+                                  d, cfg.iou_threshold)               # [D]
     else:
-        picked = _select_suppress_nms(top_boxes, top_score, top_class,
-                                      top_valid, cfg.iou_threshold, d)
+        picked_local = _select_suppress_nms(top_boxes, top_score, top_class,
+                                            top_valid, cfg.iou_threshold, d)
+    # map shortlist picks back to full-array candidate indices
+    picked = jnp.where(picked_local >= 0,
+                       top_idx[jnp.maximum(picked_local, 0)], -1)
+
+    # Greedy NMS is prefix-stable in score order, so the K-shortlist result
+    # equals unbounded NMS unless it underfilled while >K candidates were
+    # above threshold (the keepers beyond rank K were never seen).  Detect
+    # that at runtime and fall back to the exact matrix-free full pass —
+    # lossless for any pre_nms_top_k (tests/test_nms.py boundary test).
+    shortfall = jnp.any(picked_local < 0) & (jnp.sum(valid) > k)
+    picked = jax.lax.cond(
+        shortfall,
+        lambda: _select_suppress_nms_full(boxes, score, classid, valid,
+                                          cfg.iou_threshold, d),
+        lambda: picked)
+
     safe = jnp.maximum(picked, 0)
     out_valid = picked >= 0
     det = jnp.concatenate([
-        top_boxes[safe],
-        top_class[safe].astype(jnp.float32)[:, None],
-        top_score[safe][:, None],
+        boxes[safe],
+        classid[safe].astype(jnp.float32)[:, None],
+        score[safe][:, None],
     ], axis=-1)
     return jnp.where(out_valid[:, None], det, 0.0)                    # [D,6]
 

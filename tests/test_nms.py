@@ -94,6 +94,71 @@ def test_cross_class_no_suppression(small_cfg):
     assert (got[:, 5] > 0).sum() == 2
 
 
+def _adversarial_cluster(rng, n_cluster, n_spread, cluster_score=0.9,
+                         spread_score=0.5):
+    """n_cluster near-identical same-class boxes outscoring n_spread disjoint
+    ones — the worst case for a top-K shortlist (keepers hide beyond rank K)."""
+    cl = np.tile(np.array([[0.30, 0.30, 0.50, 0.50]], np.float32),
+                 (n_cluster, 1))
+    cl += rng.uniform(-0.005, 0.005, cl.shape).astype(np.float32)
+    # disjoint small boxes on a grid, all same class as the cluster
+    g = int(np.ceil(np.sqrt(n_spread)))
+    ys, xs = np.divmod(np.arange(n_spread), g)
+    sp = np.stack([0.02 + ys / g * 0.9, 0.02 + xs / g * 0.9,
+                   0.02 + ys / g * 0.9 + 0.03, 0.02 + xs / g * 0.9 + 0.03],
+                  axis=1).astype(np.float32)
+    boxes = np.concatenate([cl, sp])
+    scores = np.concatenate([
+        cluster_score - np.arange(n_cluster, dtype=np.float32) * 1e-4,
+        spread_score - np.arange(n_spread, dtype=np.float32) * 1e-4])
+    classids = np.zeros(len(boxes), np.int64)
+    return boxes, scores.astype(np.float32), classids
+
+
+def test_shortlist_boundary_fallback_matches_oracle(rng):
+    """>pre_nms_top_k above-threshold candidates whose top-K all collapse to
+    one keeper: the shortlist underfills and the exact full-set fallback must
+    reproduce unbounded greedy NMS (yolo3_net_pos.py:558-612 semantics)."""
+    cfg = DISYoloConfig(image_size=96, test_size=96, pre_nms_top_k=16)
+    boxes, scores, classids = _adversarial_cluster(rng, n_cluster=20,
+                                                   n_spread=25)
+    got = _run_single(cfg, boxes, scores, classids)
+    want = np_per_class_nms(boxes, scores, classids, cfg.obj_threshold,
+                            cfg.iou_threshold, cfg.max_detection)
+    # unbounded greedy keeps 1 cluster box + all 25 spread boxes
+    assert (want[:, 5] > 0).sum() == 26
+    np.testing.assert_allclose(got[:, 5], want[:, 5], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(got[:, :4], want[:, :4], rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(got[:, 4], want[:, 4])
+
+
+def test_shortlist_boundary_at_default_512(rng):
+    """The production default: >512 above-threshold candidates (550-cluster)
+    still match the unbounded oracle via the runtime fallback."""
+    cfg = DISYoloConfig(image_size=96, test_size=96)  # pre_nms_top_k=512
+    assert cfg.pre_nms_top_k == 512
+    boxes, scores, classids = _adversarial_cluster(rng, n_cluster=550,
+                                                   n_spread=29)
+    got = _run_single(cfg, boxes, scores, classids)
+    want = np_per_class_nms(boxes, scores, classids, cfg.obj_threshold,
+                            cfg.iou_threshold, cfg.max_detection)
+    assert (want[:, 5] > 0).sum() == 30
+    np.testing.assert_allclose(got[:, 5], want[:, 5], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(got[:, :4], want[:, :4], rtol=1e-5, atol=1e-6)
+
+
+def test_shortlist_sufficient_no_fallback(small_cfg, rng):
+    """Fewer valid candidates than K: result identical with/without the
+    fallback wiring (prefix-stability sanity)."""
+    cfg = small_cfg
+    boxes, scores, classids = _adversarial_cluster(rng, n_cluster=5,
+                                                   n_spread=10)
+    got = _run_single(cfg, boxes, scores, classids)
+    want = np_per_class_nms(boxes, scores, classids, cfg.obj_threshold,
+                            cfg.iou_threshold, cfg.max_detection)
+    np.testing.assert_allclose(got[:, 5], want[:, 5], rtol=1e-5, atol=1e-6)
+
+
 def test_batched_output_shape(small_cfg, rng):
     cfg = small_cfg
     from dis_yolo_tpu.ops.decode import decode_all
