@@ -50,8 +50,19 @@ def predict(model: DISYolo, variables: Dict[str, Any], images: jnp.ndarray,
     """Full inference: images [B,H,W,3], windows [B,4] ->
     (detections [B,D,6] zero-padded, masks [B,D,S,S] sigmoid probabilities).
     """
-    cfg = model.cfg
     raws = forward(model, variables, images, train=False)
+    return predict_from_outputs(model.cfg, raws, windows, obj_thresh)
+
+
+def predict_from_outputs(cfg: DISYoloConfig, raws, windows: jnp.ndarray,
+                         obj_thresh: Optional[float] = None
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """The post-forward half of ``predict``: raw head outputs -> detections
+    + assembled masks.  Split out so the composed inference chain
+    ``interpret_output -> filter_detections -> val_test``
+    (yolo3_net_pos.py:465-628, :862-938) can be parity-tested end to end
+    against a literal numpy oracle from identical raw tensors
+    (tests/test_composed_oracle.py)."""
     # the mask-assembly pixel quantization is square-only, exactly like the
     # reference's val_test which uses shape[1] for both axes
     # (yolo3_net_pos.py:873); letterbox non-square inputs first.
