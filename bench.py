@@ -1,10 +1,14 @@
 """Headline benchmark: single-image end-to-end inference latency at 576x576.
 
 Reference baseline: ~0.1 s/image (i7-7700 + GTX 1060, batch 1, timed as
-device predict + host mask crop/assemble — README.md:23,
-calculate_test_map.py:301-302).  Here the *entire* pipeline (backbone,
-heads, decode, NMS, position-sensitive mask assembly, sigmoid) runs
-on-device in one jitted program.
+device predict + host mask crop/resize/binarize/paste to original
+resolution — README.md:23, calculate_test_map.py:246-257,:301-302).  Here
+the *entire* pipeline (backbone, heads, decode, NMS, position-sensitive
+mask assembly, sigmoid, AND the crop/resize/binarize/paste stage that the
+reference runs on host) executes on-device in one jitted program, pasting
+into a 576x576 original-resolution canvas (apples-to-apples with the
+reference's timed scope; `device_only_s_per_image` reports the pre-paste
+subset for continuity with round 1).
 
 Methodology: N inference steps are chained inside one `lax.scan` with a
 data dependence between iterations, and a scalar reduced from every step's
@@ -51,30 +55,49 @@ def main() -> None:
                          .astype(np.float32))
     windows = jnp.asarray([[0.0, 0.0, 1.0, 1.0]], jnp.float32)
 
-    def step(carry, _):
+    from dis_yolo_tpu.ops.paste import paste_masks_batch
+    size = cfg.image_size
+
+    def step_device_only(carry, _):
         dets, masks = api.predict(model, variables, carry, windows,
                                   obj_thresh=1e-6)
         carry = carry + (dets.sum() + masks[0, 0, 0, 0]) * 1e-20
         return carry, dets.sum()
 
-    @jax.jit
-    def chain(img):
-        _, outs = jax.lax.scan(step, img, None, length=N_CHAIN)
-        return outs.sum()
+    def step_full(carry, _):
+        dets, masks = api.predict(model, variables, carry, windows,
+                                  obj_thresh=1e-6)
+        full, valid, sem = paste_masks_batch(masks, dets, size, size, size)
+        out = (dets.sum() + full.sum() + sem.astype(jnp.int32).sum()
+               + valid.sum())
+        carry = carry + (out.astype(carry.dtype) + masks[0, 0, 0, 0]) * 1e-20
+        return carry, out
 
-    float(chain(images))          # compile + warm
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        float(chain(images))      # host fetch forces all N executions
-        times.append(time.perf_counter() - t0)
-    dt = float(np.median(times)) / N_CHAIN
+    def timed(step):
+        @jax.jit
+        def chain(img):
+            _, outs = jax.lax.scan(step, img, None, length=N_CHAIN)
+            return outs.sum()
+
+        float(chain(images))          # compile + warm
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(chain(images))      # host fetch forces all N executions
+            times.append(time.perf_counter() - t0)
+        return float(np.median(times)) / N_CHAIN
+
+    dt_dev = timed(step_device_only)
+    dt_full = timed(step_full)
 
     print(json.dumps({
         "metric": "e2e_inference_latency_576_batch1",
-        "value": round(dt, 6),
+        "value": round(dt_full, 6),
         "unit": "s/image",
-        "vs_baseline": round(BASELINE_S_PER_IMAGE / dt, 2),
+        "vs_baseline": round(BASELINE_S_PER_IMAGE / dt_full, 2),
+        "device_only_s_per_image": round(dt_dev, 6),
+        "scope": "forward+decode+NMS+assembly+sigmoid+paste-to-original"
+                 " (reference timed scope, calculate_test_map.py:301-302)",
     }))
 
 

@@ -104,26 +104,68 @@ def cmd_eval(args):
     import time
     detdata, t_pred = [], 0.0
     b = cfg.batch_size
-    # compile outside the timed loop (calculate_test_map times only steady
-    # state in spirit: its published number excludes graph build)
-    warm = jnp.zeros((b,) + images.shape[1:], images.dtype)
-    np.asarray(run(variables, warm,
-                   jnp.tile(jnp.asarray([0., 0., 1., 1.]), (b, 1)))[0])
-    for v in range(0, len(names), b):
-        imgs, wins = images[v:v + b], windows[v:v + b]
+
+    def _pad_batch(imgs, wins):
         pad = b - imgs.shape[0]
         if pad:
             imgs = np.concatenate([imgs, np.zeros((pad,) + imgs.shape[1:],
                                                   imgs.dtype)])
             wins = np.concatenate([wins, np.tile([0., 0., 1., 1.], (pad, 1))
                                   .astype(np.float32)])
-        t0 = time.time()
-        dets, masks = run(variables, jnp.asarray(imgs), jnp.asarray(wins))
-        dets, masks = np.asarray(dets), np.asarray(masks)
-        t_pred += time.time() - t0
-        for i in range(min(b, len(names) - v)):
-            detdata.append({"imname": names[v + i], "boxes": dets[i],
-                            "masks": masks[i]})
+        return imgs, wins
+
+    if getattr(args, "device_paste", False):
+        # device-side crop/resize/binarize/paste to original resolution
+        # (ops/paste.py) replaces the host detections_to_original stage;
+        # one jitted program per distinct original size
+        from dis_yolo_tpu.ops.paste import paste_masks_batch
+
+        def make_run_pasted(h0, w0):
+            def f(variables, imgs, wins):
+                dets, masks = api.predict(model, variables, imgs, wins)
+                return (dets,) + paste_masks_batch(masks, dets, h0, w0,
+                                                   cfg.test_size)
+            return jax.jit(f)
+
+        groups = {}
+        for i, nm in enumerate(names):
+            groups.setdefault(evaluator.gt_sizes[nm], []).append(i)
+        by_name = {}
+        for (h0, w0), idxs in groups.items():
+            run_p = make_run_pasted(h0, w0)
+            warm = _pad_batch(images[idxs[:1]], windows[idxs[:1]])
+            np.asarray(run_p(variables, jnp.asarray(warm[0]),
+                             jnp.asarray(warm[1]))[0])   # compile, untimed
+            for v in range(0, len(idxs), b):
+                sel = idxs[v:v + b]
+                imgs, wins = _pad_batch(images[sel], windows[sel])
+                t0 = time.time()
+                dets, full, valid, sem = run_p(variables, jnp.asarray(imgs),
+                                               jnp.asarray(wins))
+                dets, full = np.asarray(dets), np.asarray(full)
+                valid, sem = np.asarray(valid), np.asarray(sem)
+                t_pred += time.time() - t0
+                for i, ix in enumerate(sel):
+                    by_name[names[ix]] = {
+                        "imname": names[ix], "boxes": dets[i],
+                        "full_masks": full[i], "valid": valid[i],
+                        "semantic": sem[i]}
+        detdata = [by_name[nm] for nm in names]
+    else:
+        # compile outside the timed loop (calculate_test_map times only
+        # steady state in spirit: its published number excludes graph build)
+        warm = jnp.zeros((b,) + images.shape[1:], images.dtype)
+        np.asarray(run(variables, warm,
+                       jnp.tile(jnp.asarray([0., 0., 1., 1.]), (b, 1)))[0])
+        for v in range(0, len(names), b):
+            imgs, wins = _pad_batch(images[v:v + b], windows[v:v + b])
+            t0 = time.time()
+            dets, masks = run(variables, jnp.asarray(imgs), jnp.asarray(wins))
+            dets, masks = np.asarray(dets), np.asarray(masks)
+            t_pred += time.time() - t0
+            for i in range(min(b, len(names) - v)):
+                detdata.append({"imname": names[v + i], "boxes": dets[i],
+                                "masks": masks[i]})
     res = evaluator.evaluate_detections(detdata, collect_semantic=True)
     miou = evaluator.miou(res.pop("semantic_maps"))
     n_timed = max(len(names), 1)
@@ -233,6 +275,9 @@ def main(argv=None):
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--data-parallel", action="store_true",
                    help="shard the eval batch over all local devices")
+    p.add_argument("--device-paste", action="store_true",
+                   help="paste masks to original resolution on device "
+                        "(replaces the host crop/resize/paste stage)")
     p.set_defaults(fn=cmd_eval)
 
     p = sub.add_parser("verify-gt", help="render GT verification overlays")

@@ -1,0 +1,163 @@
+"""Device-side batched mask paste to original image resolution.
+
+The reference finishes inference on the HOST: per detection it crops the
+score-map-sized sigmoid mask by the normalized box, bilinear-resizes the
+crop to the box's pixel size in the original image, binarizes at 0.5 and
+pastes it into a full-resolution canvas (calculate_test_map.py:246-257,
+validation_map.py:137-159) — and that stage is part of the published
+0.1 s/image (calculate_test_map.py:301-302).
+
+Here the whole stage is a fixed-shape batched device op:
+
+  * the inverse-letterbox box correction (`correct_yolo_boxes`,
+    validation_map.py:200-217) is closed-form per detection: offsets/scales
+    are static (from image/net sizes), `np.around` == `jnp.round`
+    (both half-to-even), clip to the image;
+  * crop + bilinear resize + paste collapse into one gather: for every
+    output pixel inside the pasted box, the source coordinate in the crop
+    window follows cv2 INTER_LINEAR's half-pixel mapping
+    src = (dst + 0.5) * crop/box - 0.5 with edge clamping — identical to
+    the host `eval.postprocess.paste_mask` / `data.augment.resize_bilinear`
+    math — then a 4-tap lerp and a strict > 0.5 binarize;
+  * the per-class semantic map ("later detections overwrite earlier",
+    calculate_test_map.py:259-267) is a scan over the detection axis.
+
+Everything is vmapped over detections; no host round-trip until the final
+bool masks are fetched.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def letterbox_params(image_h: int, image_w: int, net_h: int, net_w: int
+                     ) -> Tuple[float, float, float, float]:
+    """Static (x_off, x_scale, y_off, y_scale) of the letterbox window.
+
+    Integer-floor math identical to the host `correct_yolo_box`
+    (eval/postprocess.py, validation_map.py:200-217).
+    """
+    if (float(net_w) / image_w) < (float(net_h) / image_h):
+        new_w = net_w
+        new_h = (image_h * net_w) // image_w
+    else:
+        new_h = net_h
+        new_w = (image_w * net_h) // image_h
+    return (float((net_w - new_w) // 2) / net_w, float(new_w) / net_w,
+            float((net_h - new_h) // 2) / net_h, float(new_h) / net_h)
+
+
+def correct_boxes_device(boxes_norm: jnp.ndarray, image_h: int, image_w: int,
+                         net_h: int, net_w: int) -> jnp.ndarray:
+    """[..., (y1,x1,y2,x2)] normalized letterboxed -> integer original px."""
+    x_off, x_scale, y_off, y_scale = letterbox_params(image_h, image_w,
+                                                      net_h, net_w)
+    y = jnp.round((boxes_norm[..., (0, 2)] - y_off) / y_scale * image_h)
+    x = jnp.round((boxes_norm[..., (1, 3)] - x_off) / x_scale * image_w)
+    y = jnp.clip(y, 0, image_h).astype(jnp.int32)
+    x = jnp.clip(x, 0, image_w).astype(jnp.int32)
+    return jnp.stack([y[..., 0], x[..., 0], y[..., 1], x[..., 1]], axis=-1)
+
+
+def _axis_taps(out_size: int, lo_px: jnp.ndarray, hi_px: jnp.ndarray,
+               crop_lo: jnp.ndarray, crop_hi: jnp.ndarray, mask_size: int):
+    """Per-output-pixel source taps along one axis.
+
+    Returns (i0, i1, w, inside): absolute score-map indices of the two taps,
+    the lerp weight of tap 1, and the inside-box indicator — all [out_size].
+    cv2 INTER_LINEAR half-pixel mapping with edge clamping, matching
+    `data.augment.resize_bilinear`'s numpy fallback exactly.
+    """
+    pos = jnp.arange(out_size, dtype=jnp.int32)
+    inside = (pos >= lo_px) & (pos < hi_px)
+    box_len = jnp.maximum(hi_px - lo_px, 1)
+    crop_len = crop_hi - crop_lo                      # may be <= 0: degenerate
+    dst = (pos - lo_px).astype(jnp.float32)
+    src = (dst + 0.5) * crop_len.astype(jnp.float32) / box_len.astype(jnp.float32) - 0.5
+    hi_tap = jnp.maximum(crop_len - 1, 0)
+    i0 = jnp.clip(jnp.floor(src).astype(jnp.int32), 0, hi_tap)
+    i1 = jnp.clip(i0 + 1, 0, hi_tap)
+    w = jnp.clip(src - i0.astype(jnp.float32), 0.0, 1.0)
+    i0 = jnp.clip(crop_lo + i0, 0, mask_size - 1)
+    i1 = jnp.clip(crop_lo + i1, 0, mask_size - 1)
+    return i0, i1, w, inside & (crop_len > 0)
+
+
+def paste_mask_device(mask: jnp.ndarray, box_norm: jnp.ndarray,
+                      box_px: jnp.ndarray, image_h: int, image_w: int
+                      ) -> jnp.ndarray:
+    """One detection: sigmoid mask [S,S] + normalized box + original-px box
+    -> bool [image_h, image_w] (crop, bilinear resize, > 0.5, paste)."""
+    s = mask.shape[0]
+    # crop window in score-map pixels (np.around parity, postprocess.py:47-50)
+    yn1 = jnp.round(box_norm[0] * s).astype(jnp.int32)
+    xn1 = jnp.round(box_norm[1] * s).astype(jnp.int32)
+    yn2 = jnp.round(box_norm[2] * s).astype(jnp.int32)
+    xn2 = jnp.round(box_norm[3] * s).astype(jnp.int32)
+    y1, x1, y2, x2 = box_px[0], box_px[1], box_px[2], box_px[3]
+
+    ry0, ry1, wy, rin = _axis_taps(image_h, y1, y2, yn1, yn2, s)
+    cx0, cx1, wx, cin = _axis_taps(image_w, x1, x2, xn1, xn2, s)
+
+    rows0 = mask[ry0]                                  # [H0, S]
+    rows1 = mask[ry1]
+    m00 = rows0[:, cx0]                                # [H0, W0]
+    m01 = rows0[:, cx1]
+    m10 = rows1[:, cx0]
+    m11 = rows1[:, cx1]
+    wy = wy[:, None]
+    wx = wx[None, :]
+    val = ((m00 * (1 - wy) + m10 * wy) * (1 - wx)
+           + (m01 * (1 - wy) + m11 * wy) * wx)
+    inside = rin[:, None] & cin[None, :]
+    return (val > 0.5) & inside
+
+
+def paste_masks_single(masks: jnp.ndarray, dets: jnp.ndarray,
+                       image_h: int, image_w: int, net_size: int
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One image: masks [D,S,S] sigmoid + dets [D,6] ->
+    (full-res bool masks [D, image_h, image_w], valid [D]).
+
+    Validity reproduces the host loop's skips (postprocess.py:74-83):
+    zero-score padding rows and boxes degenerate in original pixels.
+    """
+    box_px = correct_boxes_device(dets[:, :4], image_h, image_w,
+                                  net_size, net_size)
+    valid = (dets[:, 5] > 0.0) \
+        & ((box_px[:, 2] - box_px[:, 0]) * (box_px[:, 3] - box_px[:, 1]) > 0)
+    full = jax.vmap(
+        lambda m, bn, bp: paste_mask_device(m, bn, bp, image_h, image_w)
+    )(masks, dets[:, :4], box_px)
+    return full & valid[:, None, None], valid
+
+
+def merged_semantic_single(full_masks: jnp.ndarray, classids: jnp.ndarray,
+                           valid: jnp.ndarray) -> jnp.ndarray:
+    """Per-image semantic map: paint classid+1 per detection in order;
+    later detections overwrite earlier (calculate_test_map.py:259-267)."""
+    def body(canvas, inputs):
+        m, cid, ok = inputs
+        canvas = jnp.where(m & ok, (cid + 1).astype(jnp.uint8), canvas)
+        return canvas, None
+
+    init = jnp.zeros(full_masks.shape[1:], jnp.uint8)
+    canvas, _ = jax.lax.scan(body, init,
+                             (full_masks, classids.astype(jnp.uint8), valid))
+    return canvas
+
+
+def paste_masks_batch(masks: jnp.ndarray, dets: jnp.ndarray,
+                      image_h: int, image_w: int, net_size: int):
+    """Batched full pipeline tail: [B,D,S,S] + [B,D,6] ->
+    (bool [B,D,H0,W0], valid [B,D], semantic [B,H0,W0] uint8)."""
+    full, valid = jax.vmap(
+        lambda m, d: paste_masks_single(m, d, image_h, image_w, net_size)
+    )(masks, dets)
+    classids = dets[..., 4].astype(jnp.int32)
+    sem = jax.vmap(merged_semantic_single)(full, classids, valid)
+    return full, valid, sem

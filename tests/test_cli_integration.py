@@ -1,5 +1,6 @@
-"""CLI integration: synth -> train (stage 1 + stage-2 bridge) -> eval ->
-infer, end to end at tiny scale."""
+"""CLI integration: synth -> train (stage 1 + stage-2 bridge) -> eval
+(host-paste and device-paste) -> infer -> verify-gt -> convert-tf1 errors,
+end to end at tiny scale.  Training runs once in a module fixture."""
 
 import json
 import os
@@ -13,19 +14,13 @@ from dis_yolo_tpu.cli import main  # noqa: E402
 
 
 @pytest.fixture(scope="module")
-def workdir(tmp_path_factory, monkeypatch=None):
+def trained(tmp_path_factory):
+    """Synthetic dataset + a 4-step stage-1 run; returns (root, data, ckpt)."""
     root = tmp_path_factory.mktemp("cli_e2e")
     data = str(root / "data")
     main(["synth", "--dataset", data, "--images", "4", "--size", "128"])
-    return root, data
 
-
-def test_full_cli_workflow(workdir, capsys, monkeypatch):
-    root, data = workdir
     out1 = str(root / "out_stage1")
-    monkeypatch.chdir(root)
-
-    # stage 1: 4 steps, checkpoint+validation at 2 and 4
     main(["train", "--dataset", data, "--image-size", "64", "--batch-size", "2",
           "--max-iter", "4", "--save-iter", "2", "--summary-iter", "2",
           "--stage", "1", "--output-dir", out1])
@@ -35,12 +30,20 @@ def test_full_cli_workflow(workdir, capsys, monkeypatch):
     ck = os.path.join(out1, "checkpoint", cks[-1])
     assert os.path.isdir(os.path.join(ck, "state"))
     assert os.path.isdir(os.path.join(ck, "weights"))
-    # metrics stream exists
     assert os.path.isfile(os.path.join(out1, "checkpoint",
                                        "train_metrics.jsonl"))
-    capsys.readouterr()
+    return root, data, ck
 
-    # stage 2 from stage-1 weights
+
+def _eval_json(capsys, data, ck, *extra):
+    main(["eval", "--dataset", data, "--image-size", "64", "--batch-size", "2",
+          "--phase", "test", "--checkpoint", ck, *extra])
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    return json.loads(line)
+
+
+def test_stage2_bridge_and_eval(trained, capsys):
+    root, data, ck = trained
     out2 = str(root / "out_stage2")
     main(["train", "--dataset", data, "--image-size", "64", "--batch-size", "2",
           "--max-iter", "2", "--save-iter", "2", "--summary-iter", "2",
@@ -50,26 +53,57 @@ def test_full_cli_workflow(workdir, capsys, monkeypatch):
     assert os.path.isdir(ck2)
     capsys.readouterr()
 
-    # eval prints one JSON line with the full metric set
-    main(["eval", "--dataset", data, "--image-size", "64", "--batch-size", "2",
-          "--phase", "test", "--checkpoint", ck2])
-    line = capsys.readouterr().out.strip().splitlines()[-1]
-    res = json.loads(line)
+    res = _eval_json(capsys, data, ck2)
     assert set(res) >= {"AP", "mAP", "recall", "precision", "iou", "miou",
                         "s_per_image"}
     assert len(res["AP"]) == 3 and len(res["iou"]) == 4
     assert res["s_per_image"] > 0
 
-    # infer writes an overlay per image
+
+def test_eval_device_paste_matches_host(trained, capsys):
+    """--device-paste (on-device crop/resize/binarize/paste) must reproduce
+    the host postprocess metrics exactly on the same checkpoint."""
+    root, data, ck = trained
+    host = _eval_json(capsys, data, ck)
+    dev = _eval_json(capsys, data, ck, "--device-paste")
+    np.testing.assert_allclose(dev["AP"], host["AP"], atol=1e-9)
+    np.testing.assert_allclose(dev["iou"], host["iou"], atol=1e-9)
+    assert dev["mAP"] == pytest.approx(host["mAP"])
+    assert dev["miou"] == pytest.approx(host["miou"])
+
+
+def test_infer_writes_overlays(trained):
+    root, data, ck = trained
     infer_out = str(root / "infer")
     main(["infer", "--dataset", data, "--image-size", "64",
           "--images", os.path.join(data, "test", "images"),
-          "--out", infer_out, "--checkpoint", ck2, "--threshold", "0.5"])
+          "--out", infer_out, "--checkpoint", ck, "--threshold", "0.5"])
     outs = os.listdir(infer_out)
     assert len(outs) == 4
     im = cv2.imread(os.path.join(infer_out, outs[0]))
     assert im is not None and im.shape[2] == 3
 
-    # verify-gt renders overlays
+
+def test_infer_unreadable_image_errors(trained):
+    root, data, ck = trained
+    bad = str(root / "bad.jpg")
+    with open(bad, "wb") as f:
+        f.write(b"not an image")
+    with pytest.raises(SystemExit, match="cannot read image"):
+        main(["infer", "--dataset", data, "--image-size", "64",
+              "--images", bad, "--out", str(root / "infer_bad")])
+
+
+def test_verify_gt_renders(trained):
+    root, data, ck = trained
     main(["verify-gt", "--dataset", data, "--phase", "train", "--limit", "2"])
     assert len(os.listdir(os.path.join(data, "train", "verify"))) == 2
+
+
+def test_convert_tf1_requires_tensorflow(trained):
+    """Without tensorflow in the env the converter must fail with the
+    actionable message (checkpoint.py:136-146), not a bare ImportError."""
+    root, data, ck = trained
+    with pytest.raises(RuntimeError, match="TensorFlow is required"):
+        main(["convert-tf1", "--ckpt", str(root / "nonexistent.ckpt"),
+              "--out", str(root / "w.npy")])
