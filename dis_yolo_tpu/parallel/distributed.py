@@ -49,6 +49,29 @@ def per_host_batch_size(global_batch: int) -> int:
     return global_batch // n
 
 
+def assembly_plan(mesh_devices, process_index: int, process_count: int,
+                  local_shape):
+    """Pure planning half of ``host_local_to_global`` (unit-testable with
+    mocked multi-process device lists).
+
+    Returns (global_shape, local_devices, slices): the global array shape,
+    this process's devices in mesh order, and the [start, stop) row slice of
+    the *local* shard that lands on each of them.  Row order follows the
+    mesh's flat device order, so concatenating every host's shards in mesh
+    order reconstructs the global batch — exactly the layout
+    NamedSharding(P(dp)) expects.
+    """
+    local_devices = [d for d in mesh_devices
+                     if d.process_index == process_index]
+    assert local_devices, f"process {process_index} owns no mesh devices"
+    n_local = len(local_devices)
+    assert local_shape[0] % n_local == 0, (local_shape, n_local)
+    rows = local_shape[0] // n_local
+    global_shape = (local_shape[0] * process_count,) + tuple(local_shape[1:])
+    slices = [(i * rows, (i + 1) * rows) for i in range(n_local)]
+    return global_shape, local_devices, slices
+
+
 def host_local_to_global(mesh: Mesh, host_batch: Dict[str, np.ndarray],
                          axis_name: str = "dp"):
     """Assemble per-host numpy shards into global batch-sharded jax.Arrays.
@@ -60,11 +83,11 @@ def host_local_to_global(mesh: Mesh, host_batch: Dict[str, np.ndarray],
     sharding = NamedSharding(mesh, P(axis_name))
 
     def make(x):
-        global_shape = (x.shape[0] * jax.process_count(),) + x.shape[1:]
-        local_devices = [d for d in mesh.devices.flat
-                         if d.process_index == jax.process_index()]
-        per_dev = np.split(x, len(local_devices), axis=0)
-        buffers = [jax.device_put(s, d) for s, d in zip(per_dev, local_devices)]
+        global_shape, local_devices, slices = assembly_plan(
+            list(mesh.devices.flat), jax.process_index(),
+            jax.process_count(), x.shape)
+        buffers = [jax.device_put(x[lo:hi], d)
+                   for (lo, hi), d in zip(slices, local_devices)]
         return jax.make_array_from_single_device_arrays(
             global_shape, sharding, buffers)
 

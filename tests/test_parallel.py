@@ -138,3 +138,50 @@ def test_2d_mesh_dp_x_sp(small_cfg):
     for i, (a, b) in enumerate(zip(want, got)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-2, atol=3e-3, err_msg=f"out {i}")
+
+
+def test_assembly_plan_mocked_two_hosts():
+    """Multi-host assembly math under a mocked 2-process x 4-device view:
+    per-host plans must tile the global batch in mesh device order with no
+    overlap (the layout NamedSharding(P(dp)) expects)."""
+    from dis_yolo_tpu.parallel import distributed as dist
+
+    class FakeDev:
+        def __init__(self, pid):
+            self.process_index = pid
+
+    mesh_devices = [FakeDev(0)] * 4 + [FakeDev(1)] * 4
+    local = np.arange(8 * 3, dtype=np.float32).reshape(8, 3)
+
+    shapes, rows = [], {}
+    for pid in (0, 1):
+        gshape, devs, slices = dist.assembly_plan(mesh_devices, pid, 2,
+                                                  local.shape)
+        shapes.append(gshape)
+        assert len(devs) == 4 and all(d.process_index == pid for d in devs)
+        assert slices == [(0, 2), (2, 4), (4, 6), (6, 8)]
+        rows[pid] = [local[lo:hi] for lo, hi in slices]
+    assert shapes == [(16, 3), (16, 3)]
+    # concatenating host 0's shards then host 1's (mesh order) == the global
+    # batch where each host contributed its local half
+    global_batch = np.concatenate(rows[0] + rows[1])
+    np.testing.assert_array_equal(global_batch,
+                                  np.concatenate([local, local]))
+
+
+def test_assembly_plan_rejects_indivisible():
+    from dis_yolo_tpu.parallel import distributed as dist
+
+    class FakeDev:
+        process_index = 0
+
+    with pytest.raises(AssertionError):
+        dist.assembly_plan([FakeDev(), FakeDev(), FakeDev()], 0, 1, (8, 3))
+
+
+def test_per_host_batch_size_mocked(monkeypatch):
+    from dis_yolo_tpu.parallel import distributed as dist
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    assert dist.per_host_batch_size(8) == 4
+    with pytest.raises(AssertionError):
+        dist.per_host_batch_size(7)
