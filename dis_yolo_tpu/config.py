@@ -49,6 +49,11 @@ class DISYoloConfig:
     max_iter: int = 10000
     summary_iter: int = 50
     save_iter: int = 500
+    # piecewise LR of the reference stage-2 run (train_yolo3_mask.py:127-141):
+    # lr_values[i] applies while step <= lr_boundaries[i]; override both to
+    # scale the schedule to shorter runs
+    lr_boundaries: tuple = (10000, 20000, 25000)
+    lr_values: tuple = (1e-3, 1e-4, 1e-5, 1e-6)
 
     # ---- model ---------------------------------------------------------------
     alpha: float = 0.1              # leaky-ReLU slope (config.py:38)

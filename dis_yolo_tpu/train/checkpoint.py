@@ -133,6 +133,34 @@ def load_tf1_weights(variables: Dict[str, Any], tf1_values: Dict[str, np.ndarray
     return {"params": params, "batch_stats": stats}
 
 
+def export_tf1_weights(variables: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    """Flax {params, batch_stats} -> {tf1_scope_name: ndarray}.
+
+    Inverse of ``load_tf1_weights``: emits the reference's variable names
+    (``yolo/convolutionalN/{weights,biases,BatchNorm/*}``,
+    train_yolo3_mask.py:87-101).  Used to publish reference-compatible
+    weight dumps and to stand in for the unavailable pretrained
+    ``yolov3_3class_coco`` download (self-pretrained backbone artifacts).
+    """
+    out: Dict[str, np.ndarray] = {}
+    params = variables["params"]
+    stats = variables["batch_stats"]
+    for name, layer in params.items():
+        if not name.startswith("convolutional"):
+            continue
+        lid = int(name[len("convolutional"):])
+        has_bn = "bn" in layer
+        for flax_key, tf_name in tf1_name_map(lid, has_bn).items():
+            parts = flax_key.split("/")
+            if parts[0] == "conv":
+                out[tf_name] = np.asarray(layer["conv"][parts[1]])
+            elif parts[1] in ("scale", "bias"):
+                out[tf_name] = np.asarray(layer["bn"][parts[1]])
+            else:
+                out[tf_name] = np.asarray(stats[name]["bn"][parts[1]])
+    return out
+
+
 def convert_tf1_checkpoint(ckpt_path: str) -> Dict[str, np.ndarray]:
     """Read a TF1 .ckpt into {name: ndarray} (requires tensorflow)."""
     try:

@@ -76,8 +76,23 @@ def reference_lr_schedule(step: jnp.ndarray) -> jnp.ndarray:
            jnp.where(step <= 25000, 1e-5, 1e-6)))
 
 
+def piecewise_lr_schedule(cfg: DISYoloConfig):
+    """cfg-driven piecewise LR; the defaults reproduce
+    ``reference_lr_schedule`` exactly (lr_values[i] while
+    step <= lr_boundaries[i], last value afterwards)."""
+    bounds = jnp.asarray(cfg.lr_boundaries)
+    values = jnp.asarray(cfg.lr_values)
+
+    def schedule(step: jnp.ndarray) -> jnp.ndarray:
+        return values[jnp.sum(step > bounds)]
+
+    return schedule
+
+
 def make_optimizer(params, cfg: DISYoloConfig,
-                   lr_schedule=reference_lr_schedule) -> optax.GradientTransformation:
+                   lr_schedule=None) -> optax.GradientTransformation:
+    if lr_schedule is None:
+        lr_schedule = piecewise_lr_schedule(cfg)
     mask = trainable_mask(params, cfg)
     labels = jax.tree.map(lambda t: "train" if t else "frozen", mask)
     opt = optax.chain(

@@ -76,3 +76,37 @@ def test_tf1_weight_bridge_roundtrip(small_cfg):
     assert not np.array_equal(
         np.asarray(staged["params"]["convolutional82"]["conv"]["kernel"]),
         values["yolo/convolutional82/weights"])
+
+
+def test_export_tf1_weights_roundtrip(small_cfg):
+    """export_tf1_weights is the exact inverse of load_tf1_weights: dumping
+    trained-style variables and restoring into a fresh init reproduces every
+    conv/BN leaf (incl. moving statistics)."""
+    from dis_yolo_tpu.train import checkpoint as ckpt
+    src = api.init_variables(small_cfg, jax.random.PRNGKey(7))
+    # make values distinguishable from a fresh init
+    src = jax.tree.map(lambda x: x + 0.25, src)
+    dump = ckpt.export_tf1_weights(src)
+    assert "yolo/convolutional1/weights" in dump
+    assert "yolo/convolutional59/biases" in dump
+    assert "yolo/convolutional52/BatchNorm/moving_variance" in dump
+
+    dst = api.init_variables(small_cfg, jax.random.PRNGKey(8))
+    merged = ckpt.load_tf1_weights(dst, dump, ignore_missing=False)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        merged, jax.tree.map(np.asarray, src))
+
+
+def test_piecewise_lr_schedule_matches_reference(small_cfg):
+    from dis_yolo_tpu.train import train_step as ts
+    sched = ts.piecewise_lr_schedule(small_cfg)
+    for step in (1, 9999, 10000, 10001, 20000, 20001, 25000, 25001, 40000):
+        assert float(sched(jnp.asarray(step))) == pytest.approx(
+            float(ts.reference_lr_schedule(jnp.asarray(step)))), step
+    scaled = small_cfg.replace(lr_boundaries=(10, 20), lr_values=(1e-2, 1e-3, 1e-4))
+    s2 = ts.piecewise_lr_schedule(scaled)
+    assert float(s2(jnp.asarray(10))) == pytest.approx(1e-2)
+    assert float(s2(jnp.asarray(11))) == pytest.approx(1e-3)
+    assert float(s2(jnp.asarray(21))) == pytest.approx(1e-4)
