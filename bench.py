@@ -15,9 +15,12 @@ data dependence between iterations, and a scalar reduced from every step's
 output is fetched to host — so the measured wall time provably contains N
 full executions (plain dispatch loops under-report on remote-attached
 devices: unconsumed outputs can be elided, and `block_until_ready` over a
-tunnel measures dispatch, not compute).  The detection threshold is set so
-real detections flow through NMS + mask assembly (all-padding outputs would
-flatter the gather paths).
+tunnel measures dispatch, not compute).  Per-image time is the two-point
+slope between a 20- and a 60-long chain, which cancels the *fixed*
+per-fetch cost (tunnel RTT + host sync, 50-75 ms here) instead of smearing
+it into every step — matching the reference's amortized loop-over-images
+timing.  The detection threshold is set so real detections flow through
+NMS + mask assembly (all-padding outputs would flatter the gather paths).
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "s/image", "vs_baseline": N}
@@ -27,7 +30,6 @@ vs_baseline > 1 means faster than the reference.
 from __future__ import annotations
 
 import json
-import time
 
 import jax
 import jax.numpy as jnp
@@ -56,39 +58,23 @@ def main() -> None:
     windows = jnp.asarray([[0.0, 0.0, 1.0, 1.0]], jnp.float32)
 
     from dis_yolo_tpu.ops.paste import paste_masks_batch
+    from dis_yolo_tpu.utils.profiling import chain_scan_time
     size = cfg.image_size
 
-    def step_device_only(carry, _):
+    def body_device_only(carry):
         dets, masks = api.predict(model, variables, carry, windows,
                                   obj_thresh=1e-6)
-        carry = carry + (dets.sum() + masks[0, 0, 0, 0]) * 1e-20
-        return carry, dets.sum()
+        return dets.sum() + masks[0, 0, 0, 0]
 
-    def step_full(carry, _):
+    def body_full(carry):
         dets, masks = api.predict(model, variables, carry, windows,
                                   obj_thresh=1e-6)
         full, valid, sem = paste_masks_batch(masks, dets, size, size, size)
-        out = (dets.sum() + full.sum() + sem.astype(jnp.int32).sum()
-               + valid.sum())
-        carry = carry + (out.astype(carry.dtype) + masks[0, 0, 0, 0]) * 1e-20
-        return carry, out
+        return (dets.sum() + full.sum() + sem.astype(jnp.int32).sum()
+                + valid.sum()).astype(jnp.float32) + masks[0, 0, 0, 0]
 
-    def timed(step):
-        @jax.jit
-        def chain(img):
-            _, outs = jax.lax.scan(step, img, None, length=N_CHAIN)
-            return outs.sum()
-
-        float(chain(images))          # compile + warm
-        times = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            float(chain(images))      # host fetch forces all N executions
-            times.append(time.perf_counter() - t0)
-        return float(np.median(times)) / N_CHAIN
-
-    dt_dev = timed(step_device_only)
-    dt_full = timed(step_full)
+    dt_dev = chain_scan_time(body_device_only, images, n=N_CHAIN)
+    dt_full = chain_scan_time(body_full, images, n=N_CHAIN)
 
     print(json.dumps({
         "metric": "e2e_inference_latency_576_batch1",
