@@ -103,16 +103,13 @@ def paste_mask_device(mask: jnp.ndarray, box_norm: jnp.ndarray,
     ry0, ry1, wy, rin = _axis_taps(image_h, y1, y2, yn1, yn2, s)
     cx0, cx1, wx, cin = _axis_taps(image_w, x1, x2, xn1, xn2, s)
 
-    rows0 = mask[ry0]                                  # [H0, S]
-    rows1 = mask[ry1]
-    m00 = rows0[:, cx0]                                # [H0, W0]
-    m01 = rows0[:, cx1]
-    m10 = rows1[:, cx0]
-    m11 = rows1[:, cx1]
+    # separable bilinear: mix the two row taps once ([H0, S]), then gather
+    # the two column taps from the mix — identical arithmetic to the host's
+    # 4-tap form (gather and multiply-add commute), half the gather volume
     wy = wy[:, None]
+    rowmix = mask[ry0] * (1 - wy) + mask[ry1] * wy     # [H0, S]
     wx = wx[None, :]
-    val = ((m00 * (1 - wy) + m10 * wy) * (1 - wx)
-           + (m01 * (1 - wy) + m11 * wy) * wx)
+    val = rowmix[:, cx0] * (1 - wx) + rowmix[:, cx1] * wx   # [H0, W0]
     inside = rin[:, None] & cin[None, :]
     return (val > 0.5) & inside
 
@@ -139,16 +136,17 @@ def paste_masks_single(masks: jnp.ndarray, dets: jnp.ndarray,
 def merged_semantic_single(full_masks: jnp.ndarray, classids: jnp.ndarray,
                            valid: jnp.ndarray) -> jnp.ndarray:
     """Per-image semantic map: paint classid+1 per detection in order;
-    later detections overwrite earlier (calculate_test_map.py:259-267)."""
-    def body(canvas, inputs):
-        m, cid, ok = inputs
-        canvas = jnp.where(m & ok, (cid + 1).astype(jnp.uint8), canvas)
-        return canvas, None
+    later detections overwrite earlier (calculate_test_map.py:259-267).
 
-    init = jnp.zeros(full_masks.shape[1:], jnp.uint8)
-    canvas, _ = jax.lax.scan(body, init,
-                             (full_masks, classids.astype(jnp.uint8), valid))
-    return canvas
+    "Last writer wins" as one vectorized reduction: per pixel, the highest
+    detection index whose mask covers it picks the class (no D-step scan).
+    """
+    d = full_masks.shape[0]
+    order = (jnp.arange(1, d + 1, dtype=jnp.int32)
+             * valid.astype(jnp.int32))[:, None, None]       # [D,1,1]
+    last = jnp.max(jnp.where(full_masks, order, 0), axis=0)  # [H,W]
+    cls = classids.astype(jnp.int32)[jnp.maximum(last - 1, 0)] + 1
+    return jnp.where(last > 0, cls, 0).astype(jnp.uint8)
 
 
 def paste_masks_batch(masks: jnp.ndarray, dets: jnp.ndarray,
