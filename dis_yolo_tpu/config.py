@@ -97,6 +97,11 @@ class DISYoloConfig:
     # into the kernel, no f32 casts); use models.fold.deploy_variables to
     # convert trained weights.
     deploy: bool = False
+    # Space-to-depth stem (deploy only): input repacked to 2x2 blocks and
+    # conv1/conv2 weight-transformed so the low-channel 576^2 stem runs as
+    # dense 128-lane convs at 288^2 — mathematically exact (models/s2d.py).
+    # Weights via models.s2d.s2d_stem_variables(deploy_variables(v)).
+    s2d_stem: bool = False
     # Run flip + photometric augmentation on device inside the jitted train
     # step (data/device_augment.py); pair with
     # DefectTrainData(host_augs=False).

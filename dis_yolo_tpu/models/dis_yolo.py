@@ -63,9 +63,24 @@ class DISYolo(nn.Module):
         x = images.astype(jnp.dtype(cfg.compute_dtype))
 
         # ---- Darknet-53 backbone (yolo3_net_pos.py:158-254) ----
-        x = self._cbn(1, 32, 3)(x, train)
-        skip1 = x                                     # 1/1, 32ch (unused by s2 decoder)
-        x = self._cbn(2, 64, 3, 2)(x, train)
+        if cfg.s2d_stem:
+            # exact space-to-depth rewrite of conv1+conv2 (models/s2d.py):
+            # conv1' sees (a,b,ch)-packed 12-channel input and emits conv1's
+            # output repacked as 128 channels at half resolution; conv2'
+            # (2x2, stride 1 — 'SAME' pads (0,1) exactly like the original
+            # stride-2 conv) lands on conv2's natural 288^2x64 output.
+            if not cfg.deploy or cfg.mask_stride == 1:
+                raise ValueError("s2d_stem requires deploy=True and "
+                                 "mask_stride != 1 (conv1 skip unavailable)")
+            from dis_yolo_tpu.models.s2d import space_to_depth
+            x = space_to_depth(x)
+            x = self._cbn(1, 128, 3)(x, train)
+            skip1 = None                              # full-res tap not built
+            x = self._cbn(2, 64, 2)(x, train)
+        else:
+            x = self._cbn(1, 32, 3)(x, train)
+            skip1 = x                                 # 1/1, 32ch (s1 decoder)
+            x = self._cbn(2, 64, 3, 2)(x, train)
         x = x + self._cbn(4, 64, 3)(self._cbn(3, 32, 1)(x, train), train)
         skip2 = x                                     # 1/2, 64ch
         x = self._cbn(5, 128, 3, 2)(x, train)
