@@ -110,6 +110,12 @@ class DISYoloConfig:
     # parity with the jnp path and ~10% faster; off by default because the
     # serial select-rounds dominate either way.
     use_pallas_nms: bool = False
+    # Greedy-NMS evaluation strategy: "fixpoint" solves the keep set by a
+    # while_loop of O(K^2) sweeps (converges in ~suppression-chain-depth
+    # iterations, typically 2-4 — TPU latency-friendly); "scan" is the
+    # max_detection-round serial select-and-suppress.  Both are exactly the
+    # reference's greedy semantics (tests/test_nms.py).
+    nms_engine: str = "fixpoint"
     # conv layer ids (1-based, matching reference scope names) that are
     # frozen.  Stage 1 = backbone 1..52 locked (yolo3_net_pos.py:155-156).
     locked_layers: Tuple[int, ...] = tuple(range(1, 53))

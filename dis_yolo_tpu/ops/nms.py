@@ -106,6 +106,49 @@ def _select_suppress_nms_full(boxes: jnp.ndarray, scores: jnp.ndarray,
     return picked                                                   # [max_det]
 
 
+def _fixpoint_nms(boxes: jnp.ndarray, scores: jnp.ndarray,
+                  classids: jnp.ndarray, valid: jnp.ndarray,
+                  iou_thresh: float, max_det: int) -> jnp.ndarray:
+    """Exact greedy NMS as a convergence iteration (TPU latency-friendly).
+
+    Greedy NMS's keep set is the unique fixpoint of
+        kept[i] = valid[i] and no kept j with higher score suppresses i
+    (induction over score rank).  Iterating that recurrence corrects all
+    candidates of suppression-chain depth <= m after m sweeps, so a
+    ``while_loop`` until stable needs only ~2-4 data-dependent O(K^2)
+    matrix sweeps instead of ``max_det`` (=30) serial argmax rounds —
+    each sweep is one masked any-reduction on the VPU.  Returns the same
+    descending-score -1-padded indices as ``_select_suppress_nms``.
+    """
+    iou = box_ops.iou_matrix_yxyx(boxes, boxes)
+    same_class = classids[:, None] == classids[None, :]
+    # j beats i: higher score, or equal score and lower index (the scan's
+    # argmax tie-break picks the first maximum)
+    idx = jnp.arange(scores.shape[0])
+    beats = (scores[:, None] > scores[None, :]) \
+        | ((scores[:, None] == scores[None, :]) & (idx[:, None] < idx[None, :]))
+    suppress = (iou > iou_thresh) & same_class & beats        # [j, i]
+
+    def cond(state):
+        kept, prev_changed = state
+        return prev_changed
+
+    def body(state):
+        kept, _ = state
+        new = valid & ~jnp.any(suppress & kept[:, None], axis=0)
+        return new, jnp.any(new != kept)
+
+    kept, _ = jax.lax.while_loop(cond, body, (valid, jnp.asarray(True)))
+
+    k = min(max_det, scores.shape[0])
+    top_score, top_idx = jax.lax.top_k(jnp.where(kept, scores, -jnp.inf), k)
+    picked = jnp.where(top_score > -jnp.inf, top_idx, -1)
+    if k < max_det:
+        picked = jnp.concatenate(
+            [picked, jnp.full((max_det - k,), -1, picked.dtype)])
+    return picked
+
+
 def filter_detections_single(conf: jnp.ndarray, class_prob: jnp.ndarray,
                              coord_cxcywh: jnp.ndarray, window: jnp.ndarray,
                              cfg: DISYoloConfig, obj_thresh) -> jnp.ndarray:
@@ -131,6 +174,9 @@ def filter_detections_single(conf: jnp.ndarray, class_prob: jnp.ndarray,
         from dis_yolo_tpu.ops.pallas_nms import nms_pallas
         picked_local = nms_pallas(top_boxes, top_score, top_class, top_valid,
                                   d, cfg.iou_threshold)               # [D]
+    elif cfg.nms_engine == "fixpoint":
+        picked_local = _fixpoint_nms(top_boxes, top_score, top_class,
+                                     top_valid, cfg.iou_threshold, d)
     else:
         picked_local = _select_suppress_nms(top_boxes, top_score, top_class,
                                             top_valid, cfg.iou_threshold, d)

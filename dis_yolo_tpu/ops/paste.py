@@ -87,11 +87,38 @@ def _axis_taps(out_size: int, lo_px: jnp.ndarray, hi_px: jnp.ndarray,
     return i0, i1, w, inside & (crop_len > 0)
 
 
+def _axis_matrix(out_size: int, lo_px: jnp.ndarray, hi_px: jnp.ndarray,
+                 crop_lo: jnp.ndarray, crop_hi: jnp.ndarray, mask_size: int
+                 ) -> jnp.ndarray:
+    """Dense one-axis interpolation matrix [out_size, mask_size].
+
+    Row p holds the two bilinear tap weights of output pixel p (zeros
+    outside the pasted box), so ``matrix @ mask`` equals the 2-tap gather
+    lerp.  Dense matrices turn the resize into MXU matmuls — on TPU the
+    per-element gathers are VPU-serial and ~15x slower (BENCHMARKS.md).
+    When both taps coincide (single-pixel crops, edge clamping) the
+    one-hot contributions sum to (1-w) + w = 1, exactly the gather's value.
+    """
+    i0, i1, w, inside = _axis_taps(out_size, lo_px, hi_px,
+                                   crop_lo, crop_hi, mask_size)
+    iota = jnp.arange(mask_size, dtype=jnp.int32)[None, :]
+    m = ((iota == i0[:, None]) * (1.0 - w)[:, None]
+         + (iota == i1[:, None]) * w[:, None])
+    return m * inside[:, None].astype(m.dtype)
+
+
 def paste_mask_device(mask: jnp.ndarray, box_norm: jnp.ndarray,
                       box_px: jnp.ndarray, image_h: int, image_w: int
                       ) -> jnp.ndarray:
     """One detection: sigmoid mask [S,S] + normalized box + original-px box
-    -> bool [image_h, image_w] (crop, bilinear resize, > 0.5, paste)."""
+    -> bool [image_h, image_w] (crop, bilinear resize, > 0.5, paste).
+
+    Separable bilinear as two dense matmuls: rowM [H0,S] @ mask [S,S]
+    @ colM.T [S,W0].  Each matrix row has exactly two non-zero entries (the
+    lerp taps), so the products equal the reference 4-tap form: zero terms
+    are exact in f32, and HIGHEST precision keeps the TPU's f32 matmul
+    decomposition from drifting the > 0.5 knife edge.
+    """
     s = mask.shape[0]
     # crop window in score-map pixels (np.around parity, postprocess.py:47-50)
     yn1 = jnp.round(box_norm[0] * s).astype(jnp.int32)
@@ -100,18 +127,13 @@ def paste_mask_device(mask: jnp.ndarray, box_norm: jnp.ndarray,
     xn2 = jnp.round(box_norm[3] * s).astype(jnp.int32)
     y1, x1, y2, x2 = box_px[0], box_px[1], box_px[2], box_px[3]
 
-    ry0, ry1, wy, rin = _axis_taps(image_h, y1, y2, yn1, yn2, s)
-    cx0, cx1, wx, cin = _axis_taps(image_w, x1, x2, xn1, xn2, s)
-
-    # separable bilinear: mix the two row taps once ([H0, S]), then gather
-    # the two column taps from the mix — identical arithmetic to the host's
-    # 4-tap form (gather and multiply-add commute), half the gather volume
-    wy = wy[:, None]
-    rowmix = mask[ry0] * (1 - wy) + mask[ry1] * wy     # [H0, S]
-    wx = wx[None, :]
-    val = rowmix[:, cx0] * (1 - wx) + rowmix[:, cx1] * wx   # [H0, W0]
-    inside = rin[:, None] & cin[None, :]
-    return (val > 0.5) & inside
+    rowm = _axis_matrix(image_h, y1, y2, yn1, yn2, s)       # [H0, S]
+    colm = _axis_matrix(image_w, x1, x2, xn1, xn2, s)       # [W0, S]
+    rowmix = jnp.matmul(rowm, mask,
+                        precision=jax.lax.Precision.HIGHEST)   # [H0, S]
+    val = jnp.matmul(rowmix, colm.T,
+                     precision=jax.lax.Precision.HIGHEST)      # [H0, W0]
+    return val > 0.5
 
 
 def paste_masks_single(masks: jnp.ndarray, dets: jnp.ndarray,

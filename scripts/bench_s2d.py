@@ -62,16 +62,17 @@ def main():
     scfg = dcfg.replace(s2d_stem=True)
 
     for batch in (1, 4):
-        t_d = fwd_time(dcfg, dv, batch)
-        t_s = fwd_time(scfg, sv, batch)
-        print(f"forward 576 b{batch}: deploy {t_d*1e3/batch:.2f} ms/img | "
-              f"s2d {t_s*1e3/batch:.2f} ms/img "
-              f"({t_d/t_s:.2f}x)", flush=True)
+        t_d = fwd_time(dcfg, dv, batch, n=60)
+        t_s = fwd_time(scfg, sv, batch, n=60)
+        speed = t_d / t_s if t_s > 0 else float("inf")
+        print(f"forward 576 b{batch}: deploy {t_d*1e3/batch:.3f} ms/img | "
+              f"s2d {t_s*1e3/batch:.3f} ms/img ({speed:.2f}x)", flush=True)
 
     for batch in (1, 4, 8):
-        t = full_time(scfg, sv, batch)
-        print(f"full pipeline (s2d) 576 b{batch}: {t*1e3/batch:.2f} ms/img = "
-              f"{batch/t:.0f} img/s/chip", flush=True)
+        t = full_time(scfg, sv, batch, n=40)
+        per = t / batch if t > 0 else float("nan")
+        print(f"full pipeline (s2d) 576 b{batch}: {per*1e3:.3f} ms/img = "
+              f"{1.0/per:.0f} img/s/chip", flush=True)
 
 
 if __name__ == "__main__":

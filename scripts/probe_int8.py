@@ -22,15 +22,16 @@ def bench_conv(dtype, ch, size, batch=1, n_layers=12, kernel=3):
     k = jax.random.PRNGKey(0)
     if dtype == jnp.int8:
         w = (jax.random.normal(k, (kernel, kernel, ch, ch)) * 20).astype(jnp.int8)
-        x = (jax.random.normal(k, (batch, size, size, ch)) * 20).astype(jnp.int8)
         acc = jnp.int32
     else:
         w = jax.random.normal(k, (kernel, kernel, ch, ch), dtype) * 0.01
-        x = jax.random.normal(k, (batch, size, size, ch), dtype)
         acc = jnp.float32
+    # f32 carry (chain_scan_time folds an f32 scalar into the carry);
+    # cast to the probe dtype inside the body
+    x0 = jax.random.normal(k, (batch, size, size, ch), jnp.float32)
 
-    def body(x):
-        y = x
+    def body(xf):
+        y = (xf * 20).astype(dtype) if dtype == jnp.int8 else xf.astype(dtype)
         for _ in range(n_layers):
             z = jax.lax.conv_general_dilated(
                 y, w, (1, 1), "SAME",
@@ -41,7 +42,7 @@ def bench_conv(dtype, ch, size, batch=1, n_layers=12, kernel=3):
                 else z.astype(dtype) * 0.1
         return y.astype(jnp.float32).sum()
 
-    t = chain_scan_time(body, x, n=5)
+    t = chain_scan_time(body, x0, n=5)
     per_conv = t / n_layers
     ops = 2 * batch * size * size * ch * ch * kernel * kernel
     return per_conv, ops / per_conv / 1e12

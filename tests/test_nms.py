@@ -175,3 +175,39 @@ def test_batched_output_shape(small_cfg, rng):
     for b in range(2):
         s = d[b, valid[b], 5]
         assert np.all(np.diff(s) <= 1e-6)
+
+
+def test_fixpoint_engine_equals_scan_engine(small_cfg, rng):
+    """The while-loop fixpoint NMS must reproduce the serial scan exactly,
+    including long suppression chains (a ladder of staggered boxes where
+    every other rung survives) and tied scores (argmax picks first index)."""
+    cfg_fix = small_cfg.replace(nms_engine="fixpoint")
+    cfg_scan = small_cfg.replace(nms_engine="scan")
+
+    # ladder: 24 boxes each shifted to overlap its neighbor above IoU 0.3
+    n = 24
+    y = np.linspace(0.0, 0.46, n).astype(np.float32)
+    ladder = np.stack([y, np.full(n, 0.1, np.float32),
+                       y + 0.5, np.full(n, 0.6, np.float32)], axis=1)
+    scores = np.linspace(0.9, 0.5, n).astype(np.float32)
+    classids = np.zeros(n, np.int64)
+    a = _run_single(cfg_fix, ladder, scores, classids)
+    b = _run_single(cfg_scan, ladder, scores, classids)
+    np.testing.assert_array_equal(a, b)
+    assert (a[:, 5] > 0).sum() > 1          # chain really alternates
+
+    # tied scores + random clusters, all classes
+    for trial in range(4):
+        m = 60
+        centers = rng.uniform(0.2, 0.8, (6, 2))
+        pick = rng.randint(0, 6, m)
+        jitter = rng.uniform(-0.03, 0.03, (m, 2))
+        lo = np.clip(centers[pick] + jitter - 0.1, 0, 1)
+        hi = np.clip(lo + 0.2, 0, 1)
+        boxes = np.concatenate([lo, hi], axis=1).astype(np.float32)
+        scores = np.round(rng.uniform(0.3, 1.0, m) * 8) / 8  # force ties
+        scores = scores.astype(np.float32)
+        classids = rng.randint(0, small_cfg.num_class, m)
+        a = _run_single(cfg_fix, boxes, scores, classids)
+        b = _run_single(cfg_scan, boxes, scores, classids)
+        np.testing.assert_array_equal(a, b, err_msg=f"trial {trial}")
