@@ -149,17 +149,40 @@ def _fixpoint_nms(boxes: jnp.ndarray, scores: jnp.ndarray,
     return picked
 
 
-def filter_detections_single(conf: jnp.ndarray, class_prob: jnp.ndarray,
-                             coord_cxcywh: jnp.ndarray, window: jnp.ndarray,
-                             cfg: DISYoloConfig, obj_thresh) -> jnp.ndarray:
-    """One image: [N] conf, [N,C] probs, [N,4] cxcywh, [4] window -> [D,6]."""
+def _score_class_boxes(conf, class_prob, coord_cxcywh, window):
+    """Shared head: per-candidate score/class/clipped boxes (one image)."""
     classid = jnp.argmax(class_prob, axis=-1).astype(jnp.int32)      # [N]
     class_max = jnp.max(class_prob, axis=-1)
     score = conf * class_max                                          # [N]
-
     boxes = box_ops.cxcywh_to_yxyx(coord_cxcywh)
     boxes = box_ops.clip_boxes(boxes, window)
+    return score, classid, boxes
 
+
+def _rows_from_picked(picked, boxes, classid, score, d):
+    """-1-padded candidate indices -> zero-padded [D,6] detection rows."""
+    safe = jnp.maximum(picked, 0)
+    out_valid = picked >= 0
+    det = jnp.concatenate([
+        boxes[safe],
+        classid[safe].astype(jnp.float32)[:, None],
+        score[safe][:, None],
+    ], axis=-1)
+    return jnp.where(out_valid[:, None], det, 0.0)                    # [D,6]
+
+
+def _shortlist_nms_single(conf, class_prob, coord_cxcywh, window,
+                          cfg: DISYoloConfig, obj_thresh):
+    """Fast path for one image: top-K shortlist NMS.
+
+    Returns ([D,6] detections, shortfall flag).  Greedy NMS is
+    prefix-stable in score order, so the K-shortlist result equals
+    unbounded NMS unless it underfilled ``max_detection`` while >K
+    candidates were above threshold (the keepers beyond rank K were never
+    seen) — the flag marks exactly that case.
+    """
+    score, classid, boxes = _score_class_boxes(conf, class_prob,
+                                               coord_cxcywh, window)
     valid = score > obj_thresh
 
     k = min(cfg.pre_nms_top_k, score.shape[0])
@@ -183,27 +206,40 @@ def filter_detections_single(conf: jnp.ndarray, class_prob: jnp.ndarray,
     # map shortlist picks back to full-array candidate indices
     picked = jnp.where(picked_local >= 0,
                        top_idx[jnp.maximum(picked_local, 0)], -1)
-
-    # Greedy NMS is prefix-stable in score order, so the K-shortlist result
-    # equals unbounded NMS unless it underfilled while >K candidates were
-    # above threshold (the keepers beyond rank K were never seen).  Detect
-    # that at runtime and fall back to the exact matrix-free full pass —
-    # lossless for any pre_nms_top_k (tests/test_nms.py boundary test).
     shortfall = jnp.any(picked_local < 0) & (jnp.sum(valid) > k)
-    picked = jax.lax.cond(
-        shortfall,
-        lambda: _select_suppress_nms_full(boxes, score, classid, valid,
-                                          cfg.iou_threshold, d),
-        lambda: picked)
+    return _rows_from_picked(picked, boxes, classid, score, d), shortfall
 
-    safe = jnp.maximum(picked, 0)
-    out_valid = picked >= 0
-    det = jnp.concatenate([
-        boxes[safe],
-        classid[safe].astype(jnp.float32)[:, None],
-        score[safe][:, None],
-    ], axis=-1)
-    return jnp.where(out_valid[:, None], det, 0.0)                    # [D,6]
+
+def _full_nms_single(conf, class_prob, coord_cxcywh, window,
+                     cfg: DISYoloConfig, obj_thresh):
+    """Exact unbounded-candidate pass (matrix-free) for one image."""
+    score, classid, boxes = _score_class_boxes(conf, class_prob,
+                                               coord_cxcywh, window)
+    valid = score > obj_thresh
+    picked = _select_suppress_nms_full(boxes, score, classid, valid,
+                                       cfg.iou_threshold, cfg.max_detection)
+    return _rows_from_picked(picked, boxes, classid, score, cfg.max_detection)
+
+
+def filter_detections_single(conf: jnp.ndarray, class_prob: jnp.ndarray,
+                             coord_cxcywh: jnp.ndarray, window: jnp.ndarray,
+                             cfg: DISYoloConfig, obj_thresh) -> jnp.ndarray:
+    """One image: [N] conf, [N,C] probs, [N,4] cxcywh, [4] window -> [D,6].
+
+    Lossless for any ``pre_nms_top_k``: the rare shortlist underfill falls
+    back to the exact full-candidate pass (tests/test_nms.py boundary
+    tests).  NOTE: do not ``vmap`` this function — under vmap ``lax.cond``
+    lowers to a select that executes BOTH branches every call, paying the
+    full pass always; use ``filter_detections``, which hoists the fallback
+    decision to one batch-level scalar cond.
+    """
+    det, shortfall = _shortlist_nms_single(conf, class_prob, coord_cxcywh,
+                                           window, cfg, obj_thresh)
+    return jax.lax.cond(
+        shortfall,
+        lambda: _full_nms_single(conf, class_prob, coord_cxcywh, window,
+                                 cfg, obj_thresh),
+        lambda: det)
 
 
 def filter_detections(preds: Sequence[ScalePrediction], windows: jnp.ndarray,
@@ -212,5 +248,17 @@ def filter_detections(preds: Sequence[ScalePrediction], windows: jnp.ndarray,
     if obj_thresh is None:
         obj_thresh = cfg.obj_threshold
     conf, prob, coord = flatten_predictions(preds)
-    fn = lambda c, p, x, w: filter_detections_single(c, p, x, w, cfg, obj_thresh)
-    return jax.vmap(fn)(conf, prob, coord, windows)
+    dets, shortfall = jax.vmap(
+        lambda c, p, x, w: _shortlist_nms_single(c, p, x, w, cfg, obj_thresh)
+    )(conf, prob, coord, windows)
+    # batch-level scalar cond: a true branch under jit, so the expensive
+    # exact pass costs nothing unless some image actually underfilled
+    return jax.lax.cond(
+        jnp.any(shortfall),
+        lambda: jnp.where(
+            shortfall[:, None, None],
+            jax.vmap(lambda c, p, x, w: _full_nms_single(c, p, x, w, cfg,
+                                                         obj_thresh)
+                     )(conf, prob, coord, windows),
+            dets),
+        lambda: dets)
