@@ -67,8 +67,7 @@ def main() -> None:
     from dis_yolo_tpu.utils.runtime import calibrate_threshold
     size = cfg.image_size
 
-    obj_thresh = calibrate_threshold(model, variables, images, cfg,
-                                     n_candidates=200)
+    obj_thresh = calibrate_threshold(model, variables, images, cfg)
 
     def body_device_only(carry):
         dets, masks = api.predict(model, variables, carry, windows,

@@ -21,7 +21,8 @@ from dis_yolo_tpu.models import api
 from dis_yolo_tpu.models.fold import fold_batchnorm
 from dis_yolo_tpu.ops.paste import paste_masks_batch
 from dis_yolo_tpu.utils.profiling import chain_scan_time
-from dis_yolo_tpu.utils.runtime import enable_compilation_cache
+from dis_yolo_tpu.utils.runtime import (calibrate_threshold,
+                                        enable_compilation_cache)
 
 
 def main():
@@ -33,6 +34,9 @@ def main():
                                                          jax.random.PRNGKey(0)))
     rng = np.random.RandomState(0)
     size = cfg.image_size
+    img1 = jnp.asarray(rng.rand(1, size, size, 3).astype(np.float32))
+    thresh = calibrate_threshold(model, variables, img1, cfg)
+    print(f"calibrated obj_thresh = {thresh:.4f}")
 
     results = {}
     for batch in (1, 4, 8):
@@ -41,7 +45,7 @@ def main():
 
         def body(carry):
             dets, masks = api.predict(model, variables, carry, windows,
-                                      obj_thresh=1e-6)
+                                      obj_thresh=thresh)
             full, valid, sem = paste_masks_batch(masks, dets, size, size,
                                                  size)
             return (dets.sum() + full.sum() + valid.sum()
