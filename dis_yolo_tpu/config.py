@@ -97,6 +97,14 @@ class DISYoloConfig:
     # into the kernel, no f32 casts); use models.fold.deploy_variables to
     # convert trained weights.
     deploy: bool = False
+    # int8 post-training-quantized serving graph (models/quant.py): conv_bn
+    # layers run as s8xs8->s32 convs on the MXU's double-rate path with a
+    # f32 dequant epilogue.  Weights via models.quant.quantize_deploy
+    # (per-out-channel weight scales + per-tensor calibrated activation
+    # scales); quant_calibrate=True builds the float calibration graph that
+    # records per-layer input ranges.
+    quant: bool = False
+    quant_calibrate: bool = False
     # Space-to-depth stem (deploy only): input repacked to 2x2 blocks and
     # conv1/conv2 weight-transformed so the low-channel 576^2 stem runs as
     # dense 128-lane convs at 288^2 — mathematically exact (models/s2d.py).

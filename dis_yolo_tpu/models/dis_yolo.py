@@ -33,6 +33,15 @@ class DISYolo(nn.Module):
 
     def _cbn(self, idx: int, features: int, kernel: int, stride: int = 1):
         cfg = self.cfg
+        if cfg.quant:
+            from dis_yolo_tpu.models.quant import QuantConv
+            return QuantConv(
+                features=features, kernel=kernel, stride=stride, act=True,
+                alpha=cfg.alpha, calibrate=cfg.quant_calibrate,
+                dtype=jnp.dtype(cfg.compute_dtype),
+                param_dtype=jnp.dtype(cfg.param_dtype),
+                name=f"convolutional{idx}",
+            )
         if cfg.deploy:
             from dis_yolo_tpu.models.layers import DeployConv
             return DeployConv(
