@@ -105,6 +105,12 @@ class DISYoloConfig:
     # records per-layer input ranges.
     quant: bool = False
     quant_calibrate: bool = False
+    # Layers (reference 1-based ids) that run int8 when quant=True.  The
+    # default skips the high-resolution low-channel stem (conv1-4 at
+    # 576^2/288^2): there the per-layer quantize/dequant elementwise cost
+    # exceeds the MXU saving, while >=conv5 (>=128ch at <=144^2) the int8
+    # double-rate path wins (scripts/bench_quant.py).
+    quant_layers: Tuple[int, ...] = tuple(range(5, 86))
     # Space-to-depth stem (deploy only): input repacked to 2x2 blocks and
     # conv1/conv2 weight-transformed so the low-channel 576^2 stem runs as
     # dense 128-lane convs at 288^2 — mathematically exact (models/s2d.py).

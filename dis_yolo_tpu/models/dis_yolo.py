@@ -33,7 +33,7 @@ class DISYolo(nn.Module):
 
     def _cbn(self, idx: int, features: int, kernel: int, stride: int = 1):
         cfg = self.cfg
-        if cfg.quant:
+        if cfg.quant and idx in cfg.quant_layers:
             from dis_yolo_tpu.models.quant import QuantConv
             return QuantConv(
                 features=features, kernel=kernel, stride=stride, act=True,
@@ -42,7 +42,9 @@ class DISYolo(nn.Module):
                 param_dtype=jnp.dtype(cfg.param_dtype),
                 name=f"convolutional{idx}",
             )
-        if cfg.deploy:
+        if cfg.deploy or cfg.quant:
+            # quant graphs keep their non-quantized layers (the stem by
+            # default) in the fused float deploy form
             from dis_yolo_tpu.models.layers import DeployConv
             return DeployConv(
                 features=features, kernel=kernel, stride=stride, act=True,

@@ -1,0 +1,90 @@
+"""int8 accuracy check: float vs quantized mAP on a trained checkpoint.
+
+Consumes the two-stage demo's artifacts (scripts/two_stage_demo.py):
+restores the stage-2 checkpoint, converts to the deploy graph, calibrates
+the int8 scales on the val images, and scores mask mAP@0.5 for the float
+deploy graph vs the int8 graph on the synthetic val split.
+
+Usage: PYTHONPATH=/root/.axon_site:. python scripts/eval_quant_accuracy.py \
+    [--root /tmp/dyt_two_stage] [--size 256]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dis_yolo_tpu.config import DISYoloConfig
+from dis_yolo_tpu.data.val_data import DefectValData
+from dis_yolo_tpu.eval.map_eval import Evaluator
+from dis_yolo_tpu.models import api
+from dis_yolo_tpu.models.fold import deploy_variables
+from dis_yolo_tpu.models.quant import calibrate_deploy, quantize_deploy
+from dis_yolo_tpu.train import checkpoint as ckpt
+from dis_yolo_tpu.utils.runtime import enable_compilation_cache
+
+
+def sweep(model, variables, evaluator, images, names, windows, batch):
+    run = api.make_jitted_predict(model)
+    detdata = []
+    for v in range(0, len(names), batch):
+        imgs = images[v:v + batch]
+        wins = windows[v:v + batch]
+        pad = batch - imgs.shape[0]
+        if pad:
+            imgs = np.concatenate([imgs, np.zeros((pad,) + imgs.shape[1:],
+                                                  imgs.dtype)])
+            wins = np.concatenate(
+                [wins, np.tile([0., 0., 1., 1.], (pad, 1)).astype(np.float32)])
+        dets, masks = run(variables, jnp.asarray(imgs), jnp.asarray(wins))
+        dets, masks = np.asarray(dets), np.asarray(masks)
+        for i in range(min(batch, len(names) - v)):
+            detdata.append({"imname": names[v + i], "boxes": dets[i],
+                            "masks": masks[i]})
+    return evaluator.evaluate_detections(detdata)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", default="/tmp/dyt_two_stage")
+    ap.add_argument("--size", type=int, default=256)
+    ap.add_argument("--batch", type=int, default=4)
+    args = ap.parse_args()
+    enable_compilation_cache()
+
+    cfg = DISYoloConfig(dataset=args.root, image_size=args.size,
+                        test_size=args.size, batch_size=args.batch)
+    ck = ckpt.latest_checkpoint(f"{args.root}/out_stage2/checkpoints")
+    assert ck, "run scripts/two_stage_demo.py first"
+    print(f"checkpoint: {ck}")
+    v0 = api.init_variables(cfg, jax.random.PRNGKey(0))
+    p, bs = ckpt.restore_weights(ck, v0["params"], v0["batch_stats"])
+    dv = deploy_variables({"params": p, "batch_stats": bs})
+
+    evaluator = Evaluator(cfg, "val")
+    val = DefectValData(cfg, "val")
+    images, names, windows = val.get()
+
+    fmodel = api.create_model(cfg.replace(deploy=True))
+    res_f = sweep(fmodel, dv, evaluator, images, names, windows, args.batch)
+    print(f"float deploy: mAP {res_f['mAP']:.4f} AP "
+          f"{['%.3f' % a for a in res_f['AP']]}", flush=True)
+
+    cmodel = api.create_model(cfg.replace(quant=True, quant_calibrate=True))
+    absmax = calibrate_deploy(cmodel, dv, jnp.asarray(images[:8]))
+    qv = quantize_deploy(dv, absmax)
+    qmodel = api.create_model(cfg.replace(quant=True))
+    res_q = sweep(qmodel, qv, evaluator, images, names, windows, args.batch)
+    print(f"int8 quant  : mAP {res_q['mAP']:.4f} AP "
+          f"{['%.3f' % a for a in res_q['AP']]}", flush=True)
+
+    print(json.dumps({"float_mAP": res_f["mAP"], "int8_mAP": res_q["mAP"],
+                      "delta": res_f["mAP"] - res_q["mAP"]}))
+
+
+if __name__ == "__main__":
+    main()

@@ -121,7 +121,7 @@ def main():
     # (train_yolo3_mask.py:109-111 full-var restore)
     if int(solver2.state.step) == 0:  # fresh bridge (not an auto-resume)
         p1, bs1 = ckpt.restore_weights(ck1, state1.params, state1.batch_stats)
-        mism = jax.tree.util.tree_leaves(jax.tree.map(
+        mism = jax.tree_util.tree_leaves(jax.tree.map(
             lambda a, b: float(np.max(np.abs(np.asarray(a) - np.asarray(b)))),
             solver2.state.batch_stats, bs1))
         assert max(mism) == 0.0, f"bridge altered BN stats (max {max(mism)})"

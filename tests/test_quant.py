@@ -11,12 +11,18 @@ from dis_yolo_tpu.models.quant import (QuantConv, calibrate_deploy,
 
 
 def _np_quant_conv(x, w, b, act_absmax, alpha=0.1):
-    """Literal numpy reproduction of QuantConv's serving math."""
+    """Literal numpy reproduction of QuantConv's serving math.
+
+    Mirrors the implementation bit-for-bit where rounding matters: the
+    activation quant multiplies by a f32 reciprocal (not divides), so a
+    value landing near a .5 boundary rounds identically.
+    """
     s_w = np.maximum(np.abs(w).reshape(-1, w.shape[-1]).max(axis=0),
                      1e-12) / 127.0
     s_x = max(act_absmax, 1e-12) / 127.0
+    inv_sx = np.float32(1.0 / s_x)
     w_q = np.clip(np.round(w / s_w), -127, 127)
-    x_q = np.clip(np.round(x / s_x), -127, 127)
+    x_q = np.clip(np.round(x.astype(np.float32) * inv_sx), -127, 127)
     kh, kw, ci, co = w.shape
     xp = np.pad(x_q, ((0, 0), (1, 1), (1, 1), (0, 0)))
     out = np.zeros(x.shape[:3] + (co,), np.float64)
@@ -24,7 +30,7 @@ def _np_quant_conv(x, w, b, act_absmax, alpha=0.1):
         for j in range(kw):
             patch = xp[:, i:i + x.shape[1], j:j + x.shape[2], :]
             out += np.tensordot(patch, w_q[i, j], axes=([3], [0]))
-    y = out * (s_x * s_w) + b
+    y = out * (s_x * s_w).astype(np.float32) + b
     return np.maximum(alpha * y, y)
 
 
@@ -43,7 +49,7 @@ def test_quantconv_matches_numpy(rng):
 
 
 def test_quant_model_close_to_deploy(small_cfg, rng):
-    cfg = small_cfg
+    cfg = small_cfg.replace(quant_layers=tuple(range(1, 86)))  # all-quant
     model = api.create_model(cfg)
     v = api.init_variables(cfg, jax.random.PRNGKey(0))
     img = jnp.asarray(rng.rand(1, cfg.image_size, cfg.image_size, 3)
@@ -71,14 +77,20 @@ def test_quant_model_close_to_deploy(small_cfg, rng):
         assert a.shape == b.shape
 
 
-def test_quant_predict_runs(small_cfg, rng):
+def test_quant_predict_runs_hybrid(small_cfg, rng):
+    """Default hybrid mode: stem conv1-4 stays float deploy, rest int8."""
     cfg = small_cfg
     v = api.init_variables(cfg, jax.random.PRNGKey(1))
     dv = deploy_variables(v)
     img = jnp.asarray(rng.rand(1, cfg.image_size, cfg.image_size, 3)
                       .astype(np.float32))
     cmodel = api.create_model(cfg.replace(quant=True, quant_calibrate=True))
-    qv = quantize_deploy(dv, calibrate_deploy(cmodel, dv, img))
+    absmax = calibrate_deploy(cmodel, dv, img)
+    assert "convolutional1" not in absmax        # stem not quantized
+    assert "convolutional5" in absmax
+    qv = quantize_deploy(dv, absmax)
+    assert set(qv["params"]["convolutional1"]) == {"conv"}   # float deploy
+    assert qv["params"]["convolutional5"]["w_q"].dtype == jnp.int8
     qmodel = api.create_model(cfg.replace(quant=True))
     dets, masks = api.predict(qmodel, qv, img,
                               jnp.asarray([[0., 0., 1., 1.]]),
