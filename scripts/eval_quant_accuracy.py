@@ -58,7 +58,7 @@ def main():
 
     cfg = DISYoloConfig(dataset=args.root, image_size=args.size,
                         test_size=args.size, batch_size=args.batch)
-    ck = ckpt.latest_checkpoint(f"{args.root}/out_stage2/checkpoints")
+    ck = ckpt.latest_checkpoint(f"{args.root}/out_stage2/checkpoint")
     assert ck, "run scripts/two_stage_demo.py first"
     print(f"checkpoint: {ck}")
     v0 = api.init_variables(cfg, jax.random.PRNGKey(0))
