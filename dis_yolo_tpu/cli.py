@@ -93,6 +93,21 @@ def cmd_eval(args):
     evaluator = Evaluator(cfg, args.phase, with_semantic=True)
     val = DefectValData(cfg, args.phase)
     images, names, windows = val.get()
+
+    if getattr(args, "quant", False):
+        # int8 serving graph: deploy-fold, calibrate activation scales on
+        # up to 8 split images, quantize (models/quant.py; hybrid layer
+        # set per cfg.quant_layers)
+        from dis_yolo_tpu.models.fold import deploy_variables
+        from dis_yolo_tpu.models.quant import (calibrate_deploy,
+                                               quantize_deploy)
+        dv = deploy_variables(variables)
+        cmodel = api.create_model(cfg.replace(quant=True,
+                                              quant_calibrate=True))
+        absmax = calibrate_deploy(cmodel, dv, jnp.asarray(images[:8]))
+        variables = quantize_deploy(dv, absmax)
+        model = api.create_model(cfg.replace(quant=True))
+        print(f"int8 graph: {len(absmax)} layers quantized")
     mesh = None
     if getattr(args, "data_parallel", False):
         from dis_yolo_tpu.parallel.sharding import make_mesh, replicate
@@ -275,6 +290,9 @@ def main(argv=None):
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--data-parallel", action="store_true",
                    help="shard the eval batch over all local devices")
+    p.add_argument("--quant", action="store_true",
+                   help="serve the int8 post-training-quantized graph "
+                        "(calibrated on the first split images)")
     p.add_argument("--device-paste", action="store_true",
                    help="paste masks to original resolution on device "
                         "(replaces the host crop/resize/paste stage)")

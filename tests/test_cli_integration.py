@@ -107,3 +107,13 @@ def test_convert_tf1_requires_tensorflow(trained):
     with pytest.raises(RuntimeError, match="TensorFlow is required"):
         main(["convert-tf1", "--ckpt", str(root / "nonexistent.ckpt"),
               "--out", str(root / "w.npy")])
+
+
+def test_eval_quant_runs(trained, capsys):
+    """--quant serves the int8 graph end to end; metrics stay in range and
+    close to the float run on this tiny checkpoint."""
+    root, data, ck = trained
+    host = _eval_json(capsys, data, ck)
+    q = _eval_json(capsys, data, ck, "--quant")
+    assert 0.0 <= q["mAP"] <= 1.0 and 0.0 <= q["miou"] <= 1.0
+    assert abs(q["miou"] - host["miou"]) < 0.2
