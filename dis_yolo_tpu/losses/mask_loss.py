@@ -84,7 +84,9 @@ def mask_loss_single(key: jax.Array, scoremap: jnp.ndarray, detections: jnp.ndar
 
     rois_px = jnp.round(rois * float(s))                     # (:842)
 
-    if cfg.use_pallas_assembly and jax.default_backend() not in ("cpu", "gpu"):
+    from dis_yolo_tpu.ops.pallas_assembly import fits_vmem
+    if (cfg.use_pallas_assembly and fits_vmem(s, cfg.k_map)
+            and jax.default_backend() not in ("cpu", "gpu")):
         # fused custom-VJP kernel: the jnp gather formulation under autodiff
         # is ~2/3 of the whole train-step gradient time (BENCHMARKS.md)
         from dis_yolo_tpu.ops.pallas_assembly import assemble_masks_trainable

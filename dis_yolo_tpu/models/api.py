@@ -79,7 +79,8 @@ def predict_from_outputs(cfg: DISYoloConfig, raws, windows: jnp.ndarray,
                      & (boxes_px[..., 3] - boxes_px[..., 1] > 0))
     valid = jnp.any(dets[..., :4] != 0.0, axis=-1) & nondegenerate
     dets = dets * valid[..., None]
-    if cfg.use_pallas_assembly and _on_tpu():
+    from dis_yolo_tpu.ops.pallas_assembly import fits_vmem
+    if cfg.use_pallas_assembly and _on_tpu() and fits_vmem(s, cfg.k_map):
         from dis_yolo_tpu.ops.pallas_assembly import assemble_masks_batch_pallas
         masks = assemble_masks_batch_pallas(raws[3], dets[..., :4], cfg.k_map)
     else:

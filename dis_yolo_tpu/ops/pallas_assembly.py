@@ -29,6 +29,39 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def fits_vmem(size: int, k: int) -> bool:
+    """Whether the VMEM-resident kernel layout fits this size.
+
+    The score maps stay fully resident (k^2 * S^2 f32) plus the
+    double-buffered output block and per-box [S,S] accumulator/inner
+    temporaries; the chip's scoped-vmem limit is 16 MB.  At k=3, S=576
+    (stride-1 decoder on a 576 input) the footprint is ~20 MB — callers
+    must fall back to the jnp formulation there (``models.api`` does).
+    """
+    sm_bytes = k * k * size * size * 4
+    block = size * size * 4                    # bpp >= 1
+    return sm_bytes + 2 * block + 2 * block + (1 << 20) <= 15 * 1024 * 1024
+
+
+def _boxes_per_program(d: int, size: int, k: int) -> int:
+    """Largest divisor of ``d`` whose output block fits the VMEM budget.
+
+    Fewer grid steps amortize the ~30 us per-step overhead (5 -> 3 steps
+    measured 66 -> 51 us at S=288, D=30), but block + resident score maps
+    must stay well under VMEM (~16 MB usable here): cap the block at 4 MB
+    and leave 12 MB headroom for the score maps (so stride-1 576^2 maps
+    fall back to one box per program).
+    """
+    sm_bytes = k * k * size * size * 4
+    budget_bytes = min(4 * 1024 * 1024, max(1024 * 1024,
+                                            12 * 1024 * 1024 - sm_bytes))
+    budget = max(1, budget_bytes // (size * size * 4))
+    for cand in range(min(d, budget), 0, -1):
+        if d % cand == 0:
+            return cand
+    return 1
+
+
 def _assembly_kernel(boxes_ref, sm_ref, out_ref, *, k: int, size: int,
                      apply_sigmoid: bool, boxes_per_program: int):
     g = pl.program_id(0)
@@ -91,14 +124,7 @@ def assemble_masks_pallas(scoremap: jnp.ndarray, boxes_norm: jnp.ndarray,
     d = boxes_norm.shape[0]
     sm_cf = jnp.transpose(scoremap, (2, 0, 1)).astype(jnp.float32)
     boxes_px = jnp.round(boxes_norm.astype(jnp.float32) * size)
-
-    # largest boxes-per-program divisor keeping the output block <= ~2 MB
-    bpp = 1
-    budget = max(1, (2 * 1024 * 1024) // (size * size * 4))
-    for cand in range(min(d, budget), 0, -1):
-        if d % cand == 0:
-            bpp = cand
-            break
+    bpp = _boxes_per_program(d, size, k)
 
     kernel = functools.partial(_assembly_kernel, k=k, size=size,
                                apply_sigmoid=apply_sigmoid,
@@ -137,12 +163,7 @@ def _assembly_px(scoremap_cf: jnp.ndarray, boxes_px: jnp.ndarray, k: int,
     """Forward on channels-first score maps and already-rounded px boxes."""
     size = scoremap_cf.shape[1]
     d = boxes_px.shape[0]
-    bpp = 1
-    budget = max(1, (2 * 1024 * 1024) // (size * size * 4))
-    for cand in range(min(d, budget), 0, -1):
-        if d % cand == 0:
-            bpp = cand
-            break
+    bpp = _boxes_per_program(d, size, k)
     kernel = functools.partial(_assembly_kernel, k=k, size=size,
                                apply_sigmoid=False, boxes_per_program=bpp)
     grid_spec = pltpu.PrefetchScalarGridSpec(
