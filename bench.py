@@ -41,7 +41,12 @@ import jax.numpy as jnp
 import numpy as np
 
 BASELINE_S_PER_IMAGE = 0.1
-N_CHAIN = 20
+# chain lengths sized so the 40->120-step slope dwarfs per-fetch jitter
+# (tunnel fetch variance ~ +/-20 ms; 80 extra steps x ~3 ms >> that —
+# at n=20 a lucky fetch once reported the full scope "faster" than its
+# own device-only subset)
+N_CHAIN = 40
+N_REPEATS = 5
 
 
 def main() -> None:
@@ -81,8 +86,10 @@ def main() -> None:
         return (dets.sum() + full.sum() + sem.astype(jnp.int32).sum()
                 + valid.sum()).astype(jnp.float32) + masks[0, 0, 0, 0]
 
-    dt_dev = chain_scan_time(body_device_only, images, n=N_CHAIN)
-    dt_full = chain_scan_time(body_full, images, n=N_CHAIN)
+    dt_dev = chain_scan_time(body_device_only, images, n=N_CHAIN,
+                             repeats=N_REPEATS)
+    dt_full = chain_scan_time(body_full, images, n=N_CHAIN,
+                              repeats=N_REPEATS)
 
     print(json.dumps({
         "metric": "e2e_inference_latency_576_batch1",
