@@ -84,8 +84,7 @@ def mask_loss_single(key: jax.Array, scoremap: jnp.ndarray, detections: jnp.ndar
 
     rois_px = jnp.round(rois * float(s))                     # (:842)
 
-    from dis_yolo_tpu.ops.pallas_assembly import fits_vmem
-    if (cfg.use_pallas_assembly and fits_vmem(s, cfg.k_map)
+    if (cfg.use_pallas_assembly
             and jax.default_backend() not in ("cpu", "gpu")):
         # fused custom-VJP kernel: the jnp gather formulation under autodiff
         # is ~2/3 of the whole train-step gradient time (BENCHMARKS.md)
@@ -103,15 +102,43 @@ def mask_loss_single(key: jax.Array, scoremap: jnp.ndarray, detections: jnp.ndar
     return jnp.where(n_pos > 0, cfg.mask_scale * mean_pos, 0.0)
 
 
+def _tf1_bilinear_matrix(in_size: int, out_size: int) -> jnp.ndarray:
+    """[out, in] interpolation matrix with TF1 legacy bilinear sampling.
+
+    TF1's ``tf.image.resize_images`` with its default
+    ``align_corners=False`` (and no ``half_pixel_centers``, which TF1
+    doesn't have) uses the origin-aligned mapping ``src = dst * in/out``
+    with ``lo = floor(src)``, ``hi = min(lo+1, in-1)`` — NOT the
+    half-pixel-center mapping ``jax.image.resize`` implements.  After
+    ``tf.round`` to {0,1} the two disagree on boundary pixels of every
+    training target, so parity requires this sampling exactly
+    (tests/test_losses.py checks it against a literal numpy port).
+    Expressed as a dense one-hot-weighted matrix so the resize becomes two
+    MXU matmuls instead of a gather.
+    """
+    scale = in_size / out_size
+    src = jnp.arange(out_size, dtype=jnp.float32) * scale
+    lo = jnp.floor(src).astype(jnp.int32)
+    frac = (src - lo.astype(jnp.float32))[:, None]
+    hi = jnp.minimum(lo + 1, in_size - 1)
+    cols = jnp.arange(in_size, dtype=jnp.int32)[None, :]
+    return ((cols == lo[:, None]) * (1.0 - frac)
+            + (cols == hi[:, None]) * frac).astype(jnp.float32)
+
+
 def resize_gt_masks(true_masks: jnp.ndarray, size: int) -> jnp.ndarray:
     """[B?, T, H, W] bool -> float {0,1} at [..., size, size].
 
     Bilinear resize + round, matching tf.image.resize_images + tf.round
-    (yolo3_net_pos.py:773-775).
+    (yolo3_net_pos.py:773-775) including TF1's legacy origin-aligned
+    sampling (see ``_tf1_bilinear_matrix``); separable, so it runs as two
+    batched matmuls on the MXU.
     """
     m = true_masks.astype(jnp.float32)
-    out_shape = m.shape[:-2] + (size, size)
-    return jnp.round(jax.image.resize(m, out_shape, method="bilinear"))
+    wh = _tf1_bilinear_matrix(m.shape[-2], size)
+    ww = _tf1_bilinear_matrix(m.shape[-1], size)
+    out = jnp.einsum("ih,...hw,jw->...ij", wh, m, ww)
+    return jnp.round(out)
 
 
 def mask_loss(key: jax.Array, scoremaps: jnp.ndarray, detections: jnp.ndarray,

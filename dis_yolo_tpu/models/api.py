@@ -79,8 +79,9 @@ def predict_from_outputs(cfg: DISYoloConfig, raws, windows: jnp.ndarray,
                      & (boxes_px[..., 3] - boxes_px[..., 1] > 0))
     valid = jnp.any(dets[..., :4] != 0.0, axis=-1) & nondegenerate
     dets = dets * valid[..., None]
-    from dis_yolo_tpu.ops.pallas_assembly import fits_vmem
-    if cfg.use_pallas_assembly and _on_tpu() and fits_vmem(s, cfg.k_map):
+    if cfg.use_pallas_assembly and _on_tpu():
+        # the kernel picks a VMEM-resident or spatially-tiled layout itself,
+        # so even the stride-1 S=576 decoder stays on the fast path
         from dis_yolo_tpu.ops.pallas_assembly import assemble_masks_batch_pallas
         masks = assemble_masks_batch_pallas(raws[3], dets[..., :4], cfg.k_map)
     else:

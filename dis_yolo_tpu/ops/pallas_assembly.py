@@ -29,37 +29,65 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def fits_vmem(size: int, k: int) -> bool:
-    """Whether the VMEM-resident kernel layout fits this size.
+_VMEM_LIMIT = 15 * 1024 * 1024     # leave 1 MB of the 16 MB to the compiler
 
-    The score maps stay fully resident (k^2 * S^2 f32) plus the
-    double-buffered output block and per-box [S,S] accumulator/inner
-    temporaries; the chip's scoped-vmem limit is 16 MB.  At k=3, S=576
-    (stride-1 decoder on a 576 input) the footprint is ~20 MB — callers
-    must fall back to the jnp formulation there (``models.api`` does).
+
+def _resident_temps(size: int) -> int:
+    """Per-program temporaries of the resident layout: the [S,S] acc and
+    inner buffers plus indicator vectors and slack."""
+    return 2 * size * size * 4 + (1 << 20)
+
+
+def fits_vmem(size: int, k: int) -> bool:
+    """Whether the fully-VMEM-resident kernel layout fits this size.
+
+    The score maps stay resident (k^2 * S^2 f32) plus one double-buffered
+    [S,S] output block and the accumulator temporaries; the chip's
+    scoped-vmem limit is 16 MB.  At k=3, S=576 (stride-1 decoder on a 576
+    input) the footprint is ~20 MB — ``assemble_masks_pallas`` then
+    switches to the spatially-tiled layout below instead of falling back
+    to the jnp gather (which measured 27.8 ms vs 51 us at S=288).
     """
     sm_bytes = k * k * size * size * 4
-    block = size * size * 4                    # bpp >= 1
-    return sm_bytes + 2 * block + 2 * block + (1 << 20) <= 15 * 1024 * 1024
+    block = size * size * 4                    # bpp >= 1, double-buffered
+    return sm_bytes + 2 * block + _resident_temps(size) <= _VMEM_LIMIT
 
 
 def _boxes_per_program(d: int, size: int, k: int) -> int:
     """Largest divisor of ``d`` whose output block fits the VMEM budget.
 
     Fewer grid steps amortize the ~30 us per-step overhead (5 -> 3 steps
-    measured 66 -> 51 us at S=288, D=30), but block + resident score maps
-    must stay well under VMEM (~16 MB usable here): cap the block at 4 MB
-    and leave 12 MB headroom for the score maps (so stride-1 576^2 maps
-    fall back to one box per program).
+    measured 66 -> 51 us at S=288, D=30).  The block budget is derived
+    from the same total bound ``fits_vmem`` enforces — score maps +
+    2 double-buffered output blocks + temporaries <= limit — so a size
+    that passes ``fits_vmem`` can never overshoot here (the round-2
+    advisor found the old fixed 4 MB cap could at S~480).
     """
     sm_bytes = k * k * size * size * 4
-    budget_bytes = min(4 * 1024 * 1024, max(1024 * 1024,
-                                            12 * 1024 * 1024 - sm_bytes))
+    budget_bytes = (_VMEM_LIMIT - sm_bytes - _resident_temps(size)) // 2
     budget = max(1, budget_bytes // (size * size * 4))
     for cand in range(min(d, budget), 0, -1):
         if d % cand == 0:
             return cand
     return 1
+
+
+def _tile_rows(size: int, n_planes: int) -> int:
+    """Row-tile height for the spatially-tiled layout.
+
+    ``n_planes`` = number of [T, S] f32 planes held in double-buffered
+    blocks per grid step (k^2 score-map slices + D output rows for the
+    forward; R grad rows + k^2 accumulator slices for the backward).
+    Picks the largest multiple-of-8 divisor of ``size`` whose working set
+    2 * n_planes * T * S * 4 + temporaries fits the VMEM budget.
+    """
+    temps = 4 * size * 4 * 8 + (1 << 19)       # indicator rows + slack
+    for t in range(size - size % 8, 7, -8):
+        if size % t:
+            continue
+        if 2 * n_planes * t * size * 4 + 2 * t * size * 4 + temps <= _VMEM_LIMIT:
+            return t
+    return 8
 
 
 def _assembly_kernel(boxes_ref, sm_ref, out_ref, *, k: int, size: int,
@@ -75,17 +103,6 @@ def _assembly_kernel(boxes_ref, sm_ref, out_ref, *, k: int, size: int,
 
 def _assemble_one(boxes_ref, sm_ref, out_ref, d, slot, *, k: int, size: int,
                   apply_sigmoid: bool):
-    y1 = boxes_ref[d, 0]
-    x1 = boxes_ref[d, 1]
-    y2 = boxes_ref[d, 2]
-    x2 = boxes_ref[d, 3]
-
-    sub_h = (y2 - y1) / k
-    sub_w = (x2 - x1) / k
-    # interior grid lines, ties-to-even like jnp.round / tf.round
-    gy = [y1] + [jnp.round(y1 + i * sub_h) for i in range(1, k)] + [y2]
-    gx = [x1] + [jnp.round(x1 + i * sub_w) for i in range(1, k)] + [x2]
-
     # Separable formulation: the (ky, kx) cell mask is the outer product of
     # a row-bin indicator [S,1] and a col-bin indicator [1,S], so
     #   acc = sum_ky row[ky] * (sum_kx sm[ky*k+kx] * col[kx])
@@ -93,11 +110,7 @@ def _assemble_one(boxes_ref, sm_ref, out_ref, d, slot, *, k: int, size: int,
     # predicated selects.  tpu.iota only produces integers; cast once.
     rows = jax.lax.broadcasted_iota(jnp.int32, (size, 1), 0).astype(jnp.float32)
     cols = jax.lax.broadcasted_iota(jnp.int32, (1, size), 1).astype(jnp.float32)
-
-    row_ind = [((rows >= gy[i]) & (rows < gy[i + 1])).astype(jnp.float32)
-               for i in range(k)]                     # k x [S,1]
-    col_ind = [((cols >= gx[i]) & (cols < gx[i + 1])).astype(jnp.float32)
-               for i in range(k)]                     # k x [1,S]
+    gy, gx, row_ind, col_ind = _bin_indicators(boxes_ref, d, rows, cols, k)
 
     acc = jnp.zeros((size, size), jnp.float32)
     for ky in range(k):
@@ -111,32 +124,104 @@ def _assemble_one(boxes_ref, sm_ref, out_ref, d, slot, *, k: int, size: int,
     out_ref[slot, :, :] = acc
 
 
-@functools.partial(jax.jit, static_argnames=("k", "apply_sigmoid", "interpret"))
-def assemble_masks_pallas(scoremap: jnp.ndarray, boxes_norm: jnp.ndarray,
-                          k: int = 3, apply_sigmoid: bool = True,
-                          interpret: bool = False) -> jnp.ndarray:
-    """One image: scoremap [S,S,k*k], boxes_norm [D,4] yxyx -> [D,S,S].
+def _bin_indicators(boxes_ref, d, rows, cols, k):
+    """Grid lines + row/col bin indicators for box ``d`` (SMEM scalars).
 
-    Padding rows (all-zero boxes) produce all-zero masks like the jnp path
-    after validity masking: the box has zero extent, so ``inside`` is empty.
+    ``rows``/``cols`` carry *global* pixel coordinates so the same helper
+    serves the resident layout (offset 0) and the tiled layout (offset
+    j*T): the bin membership math never sees the tiling.
     """
-    size = scoremap.shape[0]
-    d = boxes_norm.shape[0]
-    sm_cf = jnp.transpose(scoremap, (2, 0, 1)).astype(jnp.float32)
-    boxes_px = jnp.round(boxes_norm.astype(jnp.float32) * size)
-    bpp = _boxes_per_program(d, size, k)
+    y1 = boxes_ref[d, 0]
+    x1 = boxes_ref[d, 1]
+    y2 = boxes_ref[d, 2]
+    x2 = boxes_ref[d, 3]
+    sub_h = (y2 - y1) / k
+    sub_w = (x2 - x1) / k
+    # interior grid lines, ties-to-even like jnp.round / tf.round
+    gy = [y1] + [jnp.round(y1 + i * sub_h) for i in range(1, k)] + [y2]
+    gx = [x1] + [jnp.round(x1 + i * sub_w) for i in range(1, k)] + [x2]
+    row_ind = [((rows >= gy[i]) & (rows < gy[i + 1])).astype(jnp.float32)
+               for i in range(k)]                     # k x [T,1]
+    col_ind = [((cols >= gx[i]) & (cols < gx[i + 1])).astype(jnp.float32)
+               for i in range(k)]                     # k x [1,S]
+    return gy, gx, row_ind, col_ind
 
-    kernel = functools.partial(_assembly_kernel, k=k, size=size,
-                               apply_sigmoid=apply_sigmoid,
-                               boxes_per_program=bpp)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,              # boxes go to SMEM
-        grid=(d // bpp,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],   # full scoremap
-        out_specs=pl.BlockSpec((bpp, size, size),
-                               lambda i, *_: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-    )
+
+def _assembly_tiled_kernel(boxes_ref, sm_ref, out_ref, *, k: int, size: int,
+                           tile: int, n_boxes: int, apply_sigmoid: bool):
+    """Spatially-tiled layout: grid walks row-tiles; all boxes per program.
+
+    Per grid step the k^2 score-map row-slices [k^2, T, S] and the per-box
+    output rows [D, T, S] stream through VMEM while boxes stay resident in
+    SMEM — removing the resident layout's k^2*S^2 VMEM ceiling, so the
+    stride-1 S=576 decoder (yolo3_net_pos.py:415-461 feeding :884-928)
+    runs the kernel instead of the 500x-slower jnp gather.  A per-box
+    ``pl.when`` skips the bin math for tiles the box's row span misses
+    (padding rows, being zero-extent, never intersect and cost only the
+    zero-fill).
+    """
+    j = pl.program_id(0)
+    row0 = (j * tile).astype(jnp.float32)
+    rows = (jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0)
+            .astype(jnp.float32) + row0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, size), 1).astype(jnp.float32)
+    for d in range(n_boxes):
+        gy, gx, row_ind, col_ind = _bin_indicators(boxes_ref, d, rows, cols, k)
+        intersects = (gy[k] > row0) & (gy[0] < row0 + tile)
+
+        @pl.when(jnp.logical_not(intersects))
+        def _():
+            out_ref[d, :, :] = jnp.zeros((tile, size), jnp.float32)
+
+        @pl.when(intersects)
+        def _():
+            acc = jnp.zeros((tile, size), jnp.float32)
+            for ky in range(k):
+                inner = jnp.zeros((tile, size), jnp.float32)
+                for kx in range(k):
+                    inner += sm_ref[ky * k + kx, :, :] * col_ind[kx]
+                acc += row_ind[ky] * inner
+            if apply_sigmoid:
+                inside = ((rows >= gy[0]) & (rows < gy[k])
+                          & (cols >= gx[0]) & (cols < gx[k]))
+                acc = jnp.where(inside, jax.nn.sigmoid(acc), 0.0)
+            out_ref[d, :, :] = acc
+
+
+def _call_assembly(sm_cf: jnp.ndarray, boxes_px: jnp.ndarray, k: int,
+                   apply_sigmoid: bool, interpret: bool,
+                   force_tiled: bool = False) -> jnp.ndarray:
+    """Dispatch resident vs spatially-tiled layout on channels-first maps."""
+    size = sm_cf.shape[1]
+    d = boxes_px.shape[0]
+    if fits_vmem(size, k) and not force_tiled:
+        bpp = _boxes_per_program(d, size, k)
+        kernel = functools.partial(_assembly_kernel, k=k, size=size,
+                                   apply_sigmoid=apply_sigmoid,
+                                   boxes_per_program=bpp)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,              # boxes go to SMEM
+            grid=(d // bpp,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],  # full scoremap
+            out_specs=pl.BlockSpec((bpp, size, size),
+                                   lambda i, *_: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+        )
+    else:
+        tile = _tile_rows(size, d + k * k)
+        kernel = functools.partial(_assembly_tiled_kernel, k=k, size=size,
+                                   tile=tile, n_boxes=d,
+                                   apply_sigmoid=apply_sigmoid)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(size // tile,),
+            in_specs=[pl.BlockSpec((k * k, tile, size),
+                                   lambda j, *_: (0, j, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((d, tile, size),
+                                   lambda j, *_: (0, j, 0),
+                                   memory_space=pltpu.VMEM),
+        )
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((d, size, size), jnp.float32),
@@ -145,12 +230,33 @@ def assemble_masks_pallas(scoremap: jnp.ndarray, boxes_norm: jnp.ndarray,
     )(boxes_px, sm_cf)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "apply_sigmoid", "interpret",
+                                             "force_tiled"))
+def assemble_masks_pallas(scoremap: jnp.ndarray, boxes_norm: jnp.ndarray,
+                          k: int = 3, apply_sigmoid: bool = True,
+                          interpret: bool = False,
+                          force_tiled: bool = False) -> jnp.ndarray:
+    """One image: scoremap [S,S,k*k], boxes_norm [D,4] yxyx -> [D,S,S].
+
+    Padding rows (all-zero boxes) produce all-zero masks like the jnp path
+    after validity masking: the box has zero extent, so ``inside`` is empty.
+    Layout (VMEM-resident vs spatially tiled) is picked automatically from
+    the score-map size; ``force_tiled`` pins the tiled path for testing.
+    """
+    size = scoremap.shape[0]
+    sm_cf = jnp.transpose(scoremap, (2, 0, 1)).astype(jnp.float32)
+    boxes_px = jnp.round(boxes_norm.astype(jnp.float32) * size)
+    return _call_assembly(sm_cf, boxes_px, k, apply_sigmoid, interpret,
+                          force_tiled)
+
+
 def assemble_masks_batch_pallas(scoremaps: jnp.ndarray, boxes_norm: jnp.ndarray,
                                 k: int = 3, apply_sigmoid: bool = True,
-                                interpret: bool = False) -> jnp.ndarray:
+                                interpret: bool = False,
+                                force_tiled: bool = False) -> jnp.ndarray:
     """Batched: [B,S,S,k*k] + [B,D,4] -> [B,D,S,S]."""
     fn = lambda sm, bx: assemble_masks_pallas(sm, bx, k, apply_sigmoid,
-                                              interpret)
+                                              interpret, force_tiled)
     return jax.vmap(fn)(scoremaps, boxes_norm)
 
 
@@ -161,24 +267,8 @@ def assemble_masks_batch_pallas(scoremaps: jnp.ndarray, boxes_norm: jnp.ndarray,
 def _assembly_px(scoremap_cf: jnp.ndarray, boxes_px: jnp.ndarray, k: int,
                  interpret: bool) -> jnp.ndarray:
     """Forward on channels-first score maps and already-rounded px boxes."""
-    size = scoremap_cf.shape[1]
-    d = boxes_px.shape[0]
-    bpp = _boxes_per_program(d, size, k)
-    kernel = functools.partial(_assembly_kernel, k=k, size=size,
-                               apply_sigmoid=False, boxes_per_program=bpp)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(d // bpp,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((bpp, size, size), lambda i, *_: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-    )
-    return pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((d, size, size), jnp.float32),
-        grid_spec=grid_spec,
-        interpret=interpret,
-    )(boxes_px, scoremap_cf)
+    return _call_assembly(scoremap_cf, boxes_px, k, apply_sigmoid=False,
+                          interpret=interpret)
 
 
 def _assembly_bwd_kernel(boxes_ref, g_ref, out_ref, *, k: int, size: int):
@@ -214,18 +304,61 @@ def _assembly_bwd_kernel(boxes_ref, g_ref, out_ref, *, k: int, size: int):
             out_ref[ky * k + kx, :, :] += masked * col_ind[kx]
 
 
+def _assembly_bwd_tiled_kernel(boxes_ref, g_ref, out_ref, *, k: int,
+                               size: int, tile: int, n_boxes: int):
+    """Tiled backward: grid walks row-tiles; each tile's k^2 accumulator
+    row-slices are disjoint from every other tile's, so there is no
+    cross-grid-step accumulation — each program zero-fills its own slice
+    and sums all R boxes into it.  Removes the k^2*S^2 resident-accumulator
+    VMEM ceiling the same way the forward tiled layout does."""
+    j = pl.program_id(0)
+    row0 = (j * tile).astype(jnp.float32)
+    rows = (jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0)
+            .astype(jnp.float32) + row0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, size), 1).astype(jnp.float32)
+    out_ref[:, :, :] = jnp.zeros((k * k, tile, size), jnp.float32)
+    for d in range(n_boxes):
+        gy, gx, row_ind, col_ind = _bin_indicators(boxes_ref, d, rows, cols, k)
+        intersects = (gy[k] > row0) & (gy[0] < row0 + tile)
+
+        @pl.when(intersects)
+        def _():
+            g = g_ref[d, :, :]
+            for ky in range(k):
+                masked = g * row_ind[ky]
+                for kx in range(k):
+                    out_ref[ky * k + kx, :, :] += masked * col_ind[kx]
+
+
 def _assembly_bwd(scoremap_cf_shape, boxes_px: jnp.ndarray, g: jnp.ndarray,
                   k: int, interpret: bool) -> jnp.ndarray:
     size = scoremap_cf_shape[1]
     d = g.shape[0]
-    kernel = functools.partial(_assembly_bwd_kernel, k=k, size=size)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(d,),
-        in_specs=[pl.BlockSpec((1, size, size), lambda i, *_: (i, 0, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),   # full accumulator
-    )
+    # resident layout needs the full k^2*S^2 accumulator + one double-
+    # buffered [S,S] grad block in VMEM; otherwise tile over rows
+    if (k * k * size * size * 4 + 2 * size * size * 4
+            + _resident_temps(size) <= _VMEM_LIMIT):
+        kernel = functools.partial(_assembly_bwd_kernel, k=k, size=size)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(d,),
+            in_specs=[pl.BlockSpec((1, size, size), lambda i, *_: (i, 0, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),  # full accumulator
+        )
+    else:
+        tile = _tile_rows(size, d + k * k)
+        kernel = functools.partial(_assembly_bwd_tiled_kernel, k=k, size=size,
+                                   tile=tile, n_boxes=d)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(size // tile,),
+            in_specs=[pl.BlockSpec((d, tile, size), lambda j, *_: (0, j, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((k * k, tile, size),
+                                   lambda j, *_: (0, j, 0),
+                                   memory_space=pltpu.VMEM),
+        )
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((k * k, size, size), jnp.float32),

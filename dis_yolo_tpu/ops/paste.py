@@ -170,7 +170,11 @@ def merged_semantic_single(full_masks: jnp.ndarray, classids: jnp.ndarray,
     # per-pixel lookup into the [D] class table instead costs ~2.5 ms at
     # 576^2 on TPU: XLA lowers tiny-table gathers to a serial SMEM loop
     # (trace: s32[331776] loop fusion + memory-space copies).
-    cls = classids.astype(jnp.int32)
+    # class ids must stay below the 256 encoding base or they'd bleed into
+    # the detection-index field; any DIS-YOLO config has num_class=3, so
+    # clip defensively rather than thread cfg through (a >=256-class use
+    # would need a wider base here).
+    cls = jnp.clip(classids.astype(jnp.int32), 0, 255)
     enc = ((jnp.arange(1, d + 1, dtype=jnp.int32) * 256 + cls)
            * valid.astype(jnp.int32))[:, None, None]         # [D,1,1]
     win = jnp.max(jnp.where(full_masks, enc, 0), axis=0)     # [H,W]

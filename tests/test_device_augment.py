@@ -77,6 +77,75 @@ def test_flip_preserves_object_count(rng):
     assert v0 == v1
 
 
+def test_hls_round_trip_matches_cv2(rng):
+    """The jnp uint8-HLS emulation vs cv2: HLS2RGB bit-exact; RGB2HLS has
+    L,S bit-exact and H off only on exact-.5 SIMD rounding ties."""
+    cv2 = __import__("pytest").importorskip("cv2")
+    img = rng.randint(0, 256, (64, 64, 3)).astype(np.uint8)
+    h8, l8, s8 = (np.asarray(v) for v in da._rgb2hls_u8(jnp.asarray(
+        img.astype(np.float32))))
+    hls_cv = cv2.cvtColor(img, cv2.COLOR_RGB2HLS).astype(np.int64)
+    np.testing.assert_array_equal(l8, hls_cv[..., 1])
+    np.testing.assert_array_equal(s8, hls_cv[..., 2])
+    dh = np.abs(h8 - hls_cv[..., 0])
+    assert dh.max() <= 1 and (dh > 0).mean() < 0.005
+
+    rgb_cv = cv2.cvtColor(hls_cv.astype(np.uint8), cv2.COLOR_HLS2RGB)
+    got = np.asarray(da._hls2rgb_u8(jnp.asarray(hls_cv[..., 0].astype(np.float32)),
+                                    jnp.asarray(hls_cv[..., 1].astype(np.float32)),
+                                    jnp.asarray(hls_cv[..., 2].astype(np.float32))))
+    np.testing.assert_array_equal(got, rgb_cv.astype(np.float32))
+
+
+def test_lightness_matches_host_change_light(rng):
+    """Device lightness == host change_light (cv2 HLS path) for the same
+    coefficient, up to the H-tie knife edges (<=0.01% of pixels)."""
+    __import__("pytest").importorskip("cv2")
+    from dis_yolo_tpu.data import augment as host
+    img = rng.randint(0, 256, (96, 96, 3)).astype(np.uint8)
+    for coeff in (0.5, 0.83, 1.2, 1.5):
+        class _R:                       # host draws uniform()+0.5
+            def uniform(self):
+                return coeff - 0.5
+        want = host.change_light(img, _R()).astype(np.float32)
+
+        img255 = jnp.asarray(img.astype(np.float32))
+        h8, l8, s8 = da._rgb2hls_u8(img255)
+        l2 = jnp.floor(jnp.minimum(l8 * coeff, 255.0))
+        got = np.asarray(da._hls2rgb_u8(h8, l2, s8))
+        frac_diff = (np.abs(got - want) > 0).mean()
+        assert frac_diff <= 1e-4, (coeff, frac_diff)
+
+
+def test_motion_blur_matches_host_all_12_kernels(rng):
+    """Device blur == host linear_motion_blur (cv2.filter2D) for every
+    (angle, line-type) kernel, up to f32-vs-f64 .5 rounding knife edges."""
+    __import__("pytest").importorskip("cv2")
+    import cv2
+    from dis_yolo_tpu.data.augment import _motion_kernel
+    img = rng.randint(0, 256, (48, 48, 3)).astype(np.uint8)
+    table = np.asarray(da._motion_kernel_table())
+    angles = np.linspace(0, 180, 4, endpoint=False)
+    for ai, ang in enumerate(angles):
+        for ti, lt in enumerate(("right", "left", "full")):
+            kern = _motion_kernel(3, float(ang), lt)
+            np.testing.assert_allclose(table[ai * 3 + ti], kern, atol=1e-7)
+            want = cv2.filter2D(img, -1, kern).astype(np.float64)
+
+            x = jnp.asarray(img.astype(np.float32) / 255.0)
+            xp = jnp.pad(x * 255.0, ((1, 1), (1, 1), (0, 0)), mode="reflect")
+            acc = jnp.zeros_like(x)
+            for dy in range(3):
+                for dx in range(3):
+                    acc = acc + table[ai * 3 + ti][dy, dx] * xp[dy:dy + 48,
+                                                                dx:dx + 48, :]
+            raw = np.asarray(acc, np.float64)
+            got = np.asarray(jnp.round(acc))
+            # exclude exact-.5 knife edges (f32 kernel weights vs f64 host)
+            safe = np.abs(raw - np.floor(raw) - 0.5) > 1e-3
+            np.testing.assert_array_equal(got[safe], want[safe])
+
+
 def test_device_augmented_train_step(small_cfg, rng):
     """Full jitted train step with device-side augs enabled runs + trains."""
     from dis_yolo_tpu.models import api

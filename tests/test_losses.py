@@ -138,3 +138,63 @@ def test_resize_gt_masks_round():
     out = np.asarray(ml.resize_gt_masks(jnp.asarray(m), 4))
     assert set(np.unique(out)) <= {0.0, 1.0}
     assert out[0, 0, 0] == 1.0 and out[0, 3, 3] == 0.0
+
+
+def _tf1_resize_bilinear_np(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Literal numpy port of TF1 ResizeBilinear, align_corners=False.
+
+    TF1 has no half_pixel_centers: the legacy mapping is src = dst*in/out,
+    lo = floor(src), hi = min(lo+1, in-1), two nested lerps (the CPU
+    kernel's ``top + (bottom - top) * y_lerp`` form) — the oracle for
+    yolo3_net_pos.py:773 ``tf.image.resize_images`` on the GT masks.
+    """
+    in_h, in_w = img.shape
+    h_scale, w_scale = in_h / out_h, in_w / out_w
+    out = np.zeros((out_h, out_w), np.float32)
+    for y in range(out_h):
+        in_y = y * h_scale
+        y0 = int(np.floor(in_y))
+        y1 = min(y0 + 1, in_h - 1)
+        yl = np.float32(in_y - y0)
+        for x in range(out_w):
+            in_x = x * w_scale
+            x0 = int(np.floor(in_x))
+            x1 = min(x0 + 1, in_w - 1)
+            xl = np.float32(in_x - x0)
+            top = img[y0, x0] + (img[y0, x1] - img[y0, x0]) * xl
+            bot = img[y1, x0] + (img[y1, x1] - img[y1, x0]) * xl
+            out[y, x] = top + (bot - top) * yl
+    return out
+
+
+def test_resize_gt_masks_tf1_oracle_576_to_288():
+    """Reference shapes: 576 GT masks -> S=288 score maps.  The 2:1 ratio
+    makes TF1's origin-aligned sampling an exact top-left subsample
+    (frac = 0 everywhere) — half-pixel-center resize instead averages 4
+    pixels and shifts every mask boundary.  Must match the oracle bit-for-
+    bit; this is the case every reference training step hits."""
+    rng = np.random.RandomState(42)
+    m = (rng.rand(576, 576) > 0.6)
+    want = np.round(_tf1_resize_bilinear_np(m.astype(np.float32), 288, 288))
+    got = np.asarray(ml.resize_gt_masks(jnp.asarray(m[None]), 288))[0]
+    np.testing.assert_array_equal(got, want)
+    # and it IS the top-left subsample at 2:1
+    np.testing.assert_array_equal(got, m[::2, ::2].astype(np.float32))
+
+
+def test_resize_gt_masks_tf1_oracle_nondivisible():
+    """Non-integer ratio (20 -> 7) exercises real interpolation weights."""
+    rng = np.random.RandomState(7)
+    m = rng.rand(20, 20).astype(np.float32)   # floats: check pre-round lerp
+    want = _tf1_resize_bilinear_np(m, 7, 7)
+    wh = np.asarray(ml._tf1_bilinear_matrix(20, 7))
+    got = wh @ m @ wh.T
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+    # rounded {0,1} masks agree away from exact-0.5 knife edges
+    mb = (rng.rand(3, 20, 20) > 0.5)
+    want_r = np.stack([np.round(_tf1_resize_bilinear_np(
+        x.astype(np.float32), 7, 7)) for x in mb])
+    raw = np.stack([wh @ x.astype(np.float32) @ wh.T for x in mb])
+    got_r = np.asarray(ml.resize_gt_masks(jnp.asarray(mb), 7))
+    safe = np.abs(raw - 0.5) > 1e-4
+    np.testing.assert_array_equal(got_r[safe], want_r[safe])

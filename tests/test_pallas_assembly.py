@@ -59,6 +59,67 @@ def test_batched(case):
         ma.assemble_masks(sm * 2.0, boxes, k)))
 
 
+def test_tiled_layout_bit_exact(case):
+    """force_tiled pins the spatially-tiled layout; same bits as jnp path."""
+    sm, boxes, k = case
+    want = np.asarray(ma.assemble_masks(sm, boxes, k))
+    got = np.asarray(assemble_masks_pallas(sm, boxes, k, apply_sigmoid=False,
+                                           interpret=True, force_tiled=True))
+    np.testing.assert_array_equal(got, want)
+    logits = want
+    got_sig = np.asarray(assemble_masks_pallas(sm, boxes, k,
+                                               apply_sigmoid=True,
+                                               interpret=True,
+                                               force_tiled=True))
+    inside = logits != 0
+    np.testing.assert_allclose(got_sig[inside], 1 / (1 + np.exp(-logits[inside])),
+                               rtol=1e-6, atol=1e-6)
+    assert (got_sig[~inside] == 0).all()
+
+
+def test_stride1_576_picks_tiled_and_matches(rng=np.random.RandomState(11)):
+    """S=576 (stride-1 decoder) exceeds the resident VMEM budget; the tiled
+    layout must engage automatically and still bit-match the jnp gather."""
+    from dis_yolo_tpu.ops.pallas_assembly import fits_vmem
+    S, k, D = 576, 3, 6
+    assert not fits_vmem(S, k)
+    sm = jnp.asarray(rng.randn(S, S, k * k).astype(np.float32))
+    b = rng.uniform(0, 1, (D, 4)).astype(np.float32)
+    boxes = np.stack([np.minimum(b[:, 0], b[:, 2]), np.minimum(b[:, 1], b[:, 3]),
+                      np.maximum(b[:, 0], b[:, 2]), np.maximum(b[:, 1], b[:, 3])],
+                     axis=1)
+    boxes[-1] = 0.0
+    boxes = jnp.asarray(boxes)
+    want = np.asarray(ma.assemble_masks(sm, boxes, k))
+    got = np.asarray(assemble_masks_pallas(sm, boxes, k, apply_sigmoid=False,
+                                           interpret=True))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_tiled_bwd_grad_parity_576(rng=np.random.RandomState(13)):
+    """Tiled custom-VJP backward at S=576 bit-matches jnp autodiff."""
+    import jax
+    from dis_yolo_tpu.ops.pallas_assembly import assemble_masks_trainable
+    S, k, R = 576, 3, 4
+    sm = jnp.asarray(rng.randn(S, S, k * k).astype(np.float32))
+    b = rng.uniform(0, 1, (R, 4)).astype(np.float32)
+    boxes = np.stack([np.minimum(b[:, 0], b[:, 2]), np.minimum(b[:, 1], b[:, 3]),
+                      np.maximum(b[:, 0], b[:, 2]), np.maximum(b[:, 1], b[:, 3])],
+                     axis=1)
+    bpx = jnp.round(jnp.asarray(boxes) * S)
+    want_f = np.asarray(jax.vmap(lambda bb: ma.assemble_mask_single(sm, bb, k))(bpx))
+    got_f = np.asarray(assemble_masks_trainable(sm, bpx, k, True))
+    np.testing.assert_array_equal(got_f, want_f)
+
+    w = jnp.asarray(rng.randn(R, S, S).astype(np.float32))
+    g_want = np.asarray(jax.grad(
+        lambda x: jnp.sum(jax.vmap(
+            lambda bb: ma.assemble_mask_single(x, bb, k))(bpx) * w))(sm))
+    g_got = np.asarray(jax.grad(
+        lambda x: jnp.sum(assemble_masks_trainable(x, bpx, k, True) * w))(sm))
+    np.testing.assert_array_equal(g_got, g_want)
+
+
 def test_trainable_fwd_and_grad_parity(case):
     """Custom-VJP kernel: forward and d/d(scoremap) bit-match the jnp path."""
     import jax
