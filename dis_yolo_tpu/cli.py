@@ -95,99 +95,59 @@ def cmd_eval(args):
     images, names, windows = val.get()
 
     if getattr(args, "quant", False):
-        # int8 serving graph: deploy-fold, calibrate activation scales on
-        # up to 8 split images, quantize (models/quant.py; hybrid layer
-        # set per cfg.quant_layers)
+        # int8 serving graph: deploy-fold, calibrate activation scales,
+        # quantize (models/quant.py; hybrid layer set per cfg.quant_layers).
+        # Calibration prefers TRAIN-split images so the reported metrics
+        # carry no calibration-on-test leakage (advisor r2 finding); falls
+        # back to the eval split (with a note) when no train split exists.
         from dis_yolo_tpu.models.fold import deploy_variables
         from dis_yolo_tpu.models.quant import (calibrate_deploy,
                                                quantize_deploy)
+        n_calib = int(getattr(args, "quant_calib_images", 8) or 8)
+        try:
+            calib_imgs = DefectValData(cfg, "train").get()[0][:n_calib]
+        except Exception:
+            calib_imgs = images[:n_calib]
+            print("note: no train split found - calibrating on eval images "
+                  "(activation-range leakage only)")
         dv = deploy_variables(variables)
+        use_pct = getattr(args, "quant_calib", "max") == "pct"
         cmodel = api.create_model(cfg.replace(quant=True,
                                               quant_calibrate=True))
-        absmax = calibrate_deploy(cmodel, dv, jnp.asarray(images[:8]))
+        absmax = calibrate_deploy(cmodel, dv, jnp.asarray(calib_imgs),
+                                  use_pct=use_pct)
         variables = quantize_deploy(dv, absmax)
         model = api.create_model(cfg.replace(quant=True))
-        print(f"int8 graph: {len(absmax)} layers quantized")
+        print(f"int8 graph: {len(absmax)} layers quantized "
+              f"({'pct' if use_pct else 'max'} scales, "
+              f"{len(calib_imgs)} calib images)")
     mesh = None
     if getattr(args, "data_parallel", False):
         from dis_yolo_tpu.parallel.sharding import make_mesh, replicate
         mesh = make_mesh()
         # checkpoint restore commits weights to one device; spread them
         variables = replicate(mesh, variables)
-    run = api.make_jitted_predict(model, mesh=mesh)
 
-    import time
-    detdata, t_pred = [], 0.0
-    b = cfg.batch_size
-
-    def _pad_batch(imgs, wins):
-        pad = b - imgs.shape[0]
-        if pad:
-            imgs = np.concatenate([imgs, np.zeros((pad,) + imgs.shape[1:],
-                                                  imgs.dtype)])
-            wins = np.concatenate([wins, np.tile([0., 0., 1., 1.], (pad, 1))
-                                  .astype(np.float32)])
-        return imgs, wins
-
-    if getattr(args, "device_paste", False):
-        # device-side crop/resize/binarize/paste to original resolution
-        # (ops/paste.py) replaces the host detections_to_original stage;
-        # one jitted program per distinct original size
-        from dis_yolo_tpu.ops.paste import paste_masks_batch
-
-        def make_run_pasted(h0, w0):
-            def f(variables, imgs, wins):
-                dets, masks = api.predict(model, variables, imgs, wins)
-                return (dets,) + paste_masks_batch(masks, dets, h0, w0,
-                                                   cfg.test_size)
-            return jax.jit(f)
-
-        groups = {}
-        for i, nm in enumerate(names):
-            groups.setdefault(evaluator.gt_sizes[nm], []).append(i)
-        by_name = {}
-        for (h0, w0), idxs in groups.items():
-            run_p = make_run_pasted(h0, w0)
-            warm = _pad_batch(images[idxs[:1]], windows[idxs[:1]])
-            np.asarray(run_p(variables, jnp.asarray(warm[0]),
-                             jnp.asarray(warm[1]))[0])   # compile, untimed
-            for v in range(0, len(idxs), b):
-                sel = idxs[v:v + b]
-                imgs, wins = _pad_batch(images[sel], windows[sel])
-                t0 = time.time()
-                dets, full, valid, sem = run_p(variables, jnp.asarray(imgs),
-                                               jnp.asarray(wins))
-                dets, full = np.asarray(dets), np.asarray(full)
-                valid, sem = np.asarray(valid), np.asarray(sem)
-                t_pred += time.time() - t0
-                for i, ix in enumerate(sel):
-                    by_name[names[ix]] = {
-                        "imname": names[ix], "boxes": dets[i],
-                        "full_masks": full[i], "valid": valid[i],
-                        "semantic": sem[i]}
-        detdata = [by_name[nm] for nm in names]
-    else:
-        # compile outside the timed loop (calculate_test_map times only
-        # steady state in spirit: its published number excludes graph build)
-        warm = jnp.zeros((b,) + images.shape[1:], images.dtype)
-        np.asarray(run(variables, warm,
-                       jnp.tile(jnp.asarray([0., 0., 1., 1.]), (b, 1)))[0])
-        for v in range(0, len(names), b):
-            imgs, wins = _pad_batch(images[v:v + b], windows[v:v + b])
-            t0 = time.time()
-            dets, masks = run(variables, jnp.asarray(imgs), jnp.asarray(wins))
-            dets, masks = np.asarray(dets), np.asarray(masks)
-            t_pred += time.time() - t0
-            for i in range(min(b, len(names) - v)):
-                detdata.append({"imname": names[v + i], "boxes": dets[i],
-                                "masks": masks[i]})
+    # shared sweep driver (eval/sweep.py — also used by Solver.validate);
+    # compiles are excluded from the timing like the reference's published
+    # steady-state number
+    from dis_yolo_tpu.eval.sweep import run_split
+    detdata, t_pred = run_split(
+        cfg, model, variables, images, names, windows,
+        device_paste=bool(getattr(args, "device_paste", False)),
+        gt_sizes=evaluator.gt_sizes, mesh=mesh)
     res = evaluator.evaluate_detections(detdata, collect_semantic=True)
     miou = evaluator.miou(res.pop("semantic_maps"))
     n_timed = max(len(names), 1)
+    t_post = res.pop("t_post_s")
+    # device-predict vs host crop/assemble split, like the reference's
+    # separate prints (calculate_test_map.py:301-302)
     print(json.dumps({"AP": res["AP"], "mAP": res["mAP"],
                       "recall": res["recall"], "precision": res["precision"],
                       "iou": miou["iou"], "miou": miou["miou"],
-                      "s_per_image": t_pred / n_timed}))
+                      "s_per_image": (t_pred + t_post) / n_timed,
+                      "s_per_image_device": t_pred / n_timed,
+                      "s_per_image_post": t_post / n_timed}))
 
 
 def cmd_verify_gt(args):
@@ -292,7 +252,12 @@ def main(argv=None):
                    help="shard the eval batch over all local devices")
     p.add_argument("--quant", action="store_true",
                    help="serve the int8 post-training-quantized graph "
-                        "(calibrated on the first split images)")
+                        "(calibrated on train-split images)")
+    p.add_argument("--quant-calib", default="max", choices=["max", "pct"],
+                   help="activation-scale statistic: absmax or the "
+                        "cfg.quant_calib_pct percentile (outlier-robust)")
+    p.add_argument("--quant-calib-images", type=int, default=8,
+                   help="number of calibration images")
     p.add_argument("--device-paste", action="store_true",
                    help="paste masks to original resolution on device "
                         "(replaces the host crop/resize/paste stage)")

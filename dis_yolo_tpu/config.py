@@ -111,6 +111,10 @@ class DISYoloConfig:
     # exceeds the MXU saving, while >=conv5 (>=128ch at <=144^2) the int8
     # double-rate path wins (scripts/bench_quant.py).
     quant_layers: Tuple[int, ...] = tuple(range(5, 86))
+    # Percentile (of |activation|) recorded by the calibration graph as the
+    # outlier-robust alternative to absmax scales; selected at
+    # calibrate_deploy(use_pct=True) / `cli eval --quant-calib pct`.
+    quant_calib_pct: float = 99.9
     # Space-to-depth stem (deploy only): input repacked to 2x2 blocks and
     # conv1/conv2 weight-transformed so the low-channel 576^2 stem runs as
     # dense 128-lane convs at 288^2 — mathematically exact (models/s2d.py).

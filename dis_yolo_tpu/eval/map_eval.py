@@ -128,10 +128,12 @@ class Evaluator:
         'valid' [D], 'semantic' [H,W] uint8 — the on-device equivalent of
         the host crop/resize/paste, skipping ``detections_to_original``.
         """
+        import time
         assert len(detdata) == len(self.index)
         per_class: Dict[int, List[Dict]] = {c: [] for c in
                                             range(self.cfg.num_class)}
         semantic_maps: Dict[str, np.ndarray] = {}
+        t_post0 = time.time()
         for i, det in enumerate(detdata):
             stem = det["imname"]
             assert stem == self.index[i]
@@ -161,6 +163,10 @@ class Evaluator:
                          "mask": inst["mask"]})
             if merged is not None:
                 semantic_maps[stem] = merged
+        # host crop/resize/binarize/paste time — the stage the reference
+        # times separately from device predict (calculate_test_map.py:
+        # 246-257,:301-302); ~0 when detdata came device-pasted
+        t_post = time.time() - t_post0
 
         aps, recalls, precisions = [], [], []
         for c in range(self.cfg.num_class):
@@ -177,7 +183,8 @@ class Evaluator:
 
         result = {"AP": aps, "mAP": float(np.mean(aps)),
                   "recall": float(np.mean(recalls)),
-                  "precision": float(np.mean(precisions))}
+                  "precision": float(np.mean(precisions)),
+                  "t_post_s": t_post}
         if collect_semantic:
             result["semantic_maps"] = semantic_maps
         return result

@@ -1,0 +1,115 @@
+"""Shared detection-sweep driver for validation / test evaluation.
+
+Extracts the batched predict loop (with fixed-shape tail padding) and the
+grouped-by-original-size device-paste route from the CLI so the Solver's
+periodic validation (train_yolo3_mask.py:156-204) and ``cli eval``
+(calculate_test_map.py:203-269) run the same code — including the DP mesh
+and device-paste fast paths.
+
+Timing: returns the accumulated *device predict* wall time separately, so
+callers can report device vs host-post time like the reference
+(calculate_test_map.py:301-302 prints prediction and crop/assemble
+separately).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dis_yolo_tpu.config import DISYoloConfig
+from dis_yolo_tpu.models import api
+
+
+def _pad_batch(b: int, imgs: np.ndarray, wins: np.ndarray):
+    pad = b - imgs.shape[0]
+    if pad:  # keep the jitted shape fixed on the tail batch
+        imgs = np.concatenate([imgs, np.zeros((pad,) + imgs.shape[1:],
+                                              imgs.dtype)])
+        wins = np.concatenate([wins, np.tile([0., 0., 1., 1.], (pad, 1))
+                              .astype(np.float32)])
+    return imgs, wins
+
+
+def run_split(cfg: DISYoloConfig, model, variables, images: np.ndarray,
+              names: List[str], windows: np.ndarray,
+              device_paste: bool = False,
+              gt_sizes: Optional[Dict[str, Tuple[int, int]]] = None,
+              mesh=None, predict_fn=None,
+              paste_cache: Optional[Dict] = None) -> Tuple[List[Dict], float]:
+    """Predict a whole split; returns (detdata, device_predict_seconds).
+
+    ``device_paste`` runs the on-device crop/resize/binarize/paste
+    (ops/paste.py) grouped by original image size (one jitted program per
+    distinct size), producing 'full_masks'/'valid'/'semantic' entries that
+    ``Evaluator.evaluate_detections`` consumes without the host
+    ``detections_to_original`` stage; otherwise entries carry the raw
+    [D,S,S] masks for the host route.  Compiles are excluded from the
+    returned time (the reference's published number is steady-state).
+
+    ``paste_cache``: caller-owned dict keyed by original size; pass a
+    persistent one for repeated sweeps (Solver.validate every save_iter)
+    so the per-size pasted programs compile once.
+    """
+    b = cfg.batch_size
+    t_pred = 0.0
+
+    if device_paste:
+        assert gt_sizes is not None, "device_paste needs per-image sizes"
+        from dis_yolo_tpu.ops.paste import paste_masks_batch
+
+        def make_run_pasted(h0, w0):
+            def f(variables, imgs, wins):
+                dets, masks = api.predict(model, variables, imgs, wins)
+                return (dets,) + paste_masks_batch(masks, dets, h0, w0,
+                                                   cfg.test_size)
+            return jax.jit(f)
+
+        cache = paste_cache if paste_cache is not None else {}
+        groups: Dict[Tuple[int, int], List[int]] = {}
+        for i, nm in enumerate(names):
+            groups.setdefault(tuple(gt_sizes[nm]), []).append(i)
+        by_name: Dict[str, Dict] = {}
+        for (h0, w0), idxs in groups.items():
+            run_p = cache.get((h0, w0))
+            if run_p is None:
+                run_p = cache[(h0, w0)] = make_run_pasted(h0, w0)
+            warm = _pad_batch(b, images[idxs[:1]], windows[idxs[:1]])
+            np.asarray(run_p(variables, jnp.asarray(warm[0]),
+                             jnp.asarray(warm[1]))[0])   # compile, untimed
+            for v in range(0, len(idxs), b):
+                sel = idxs[v:v + b]
+                imgs, wins = _pad_batch(b, images[sel], windows[sel])
+                t0 = time.time()
+                dets, full, valid, sem = run_p(variables, jnp.asarray(imgs),
+                                               jnp.asarray(wins))
+                dets, full = np.asarray(dets), np.asarray(full)
+                valid, sem = np.asarray(valid), np.asarray(sem)
+                t_pred += time.time() - t0
+                for i, ix in enumerate(sel):
+                    by_name[names[ix]] = {
+                        "imname": names[ix], "boxes": dets[i],
+                        "full_masks": full[i], "valid": valid[i],
+                        "semantic": sem[i]}
+        return [by_name[nm] for nm in names], t_pred
+
+    run = predict_fn or api.make_jitted_predict(model, mesh=mesh)
+    warm = jnp.zeros((b,) + images.shape[1:], images.dtype)
+    np.asarray(run(variables, warm,
+                   jnp.tile(jnp.asarray([0., 0., 1., 1.]), (b, 1)))[0])
+    detdata: List[Dict] = []
+    n = len(names)
+    for v in range(0, n, b):
+        imgs, wins = _pad_batch(b, images[v:v + b], windows[v:v + b])
+        t0 = time.time()
+        dets, masks = run(variables, jnp.asarray(imgs), jnp.asarray(wins))
+        dets, masks = np.asarray(dets), np.asarray(masks)
+        t_pred += time.time() - t0
+        for i in range(min(b, n - v)):
+            detdata.append({"imname": names[v + i], "boxes": dets[i],
+                            "masks": masks[i]})
+    return detdata, t_pred

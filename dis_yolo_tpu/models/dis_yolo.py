@@ -38,6 +38,7 @@ class DISYolo(nn.Module):
             return QuantConv(
                 features=features, kernel=kernel, stride=stride, act=True,
                 alpha=cfg.alpha, calibrate=cfg.quant_calibrate,
+                calib_pct=cfg.quant_calib_pct,
                 dtype=jnp.dtype(cfg.compute_dtype),
                 param_dtype=jnp.dtype(cfg.param_dtype),
                 name=f"convolutional{idx}",

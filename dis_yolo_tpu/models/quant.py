@@ -45,6 +45,7 @@ class QuantConv(nn.Module):
     act: bool = True
     alpha: float = 0.1
     calibrate: bool = False
+    calib_pct: float = 99.9
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
 
@@ -53,9 +54,17 @@ class QuantConv(nn.Module):
         k = self.kernel
         if self.calibrate:
             # float path (parameter tree identical to DeployConv, so the
-            # deploy variables apply directly), recording the input scale
-            self.sow("intermediates", "in_absmax",
-                     jnp.max(jnp.abs(x.astype(jnp.float32))))
+            # deploy variables apply directly), recording the input scale:
+            # both the absmax and a high-percentile absmax (outlier-robust
+            # alternative — one hot pixel in a calibration image otherwise
+            # silently degrades every downstream layer).  The percentile is
+            # taken over a deterministic <=4M-element stride subsample so
+            # the sort stays cheap at 576^2 activations.
+            ax = jnp.abs(x.astype(jnp.float32)).ravel()
+            self.sow("intermediates", "in_absmax", jnp.max(ax))
+            sample = ax[::max(1, ax.size // (1 << 22))]
+            self.sow("intermediates", "in_pct",
+                     jnp.quantile(sample, self.calib_pct / 100.0))
             y = nn.Conv(
                 self.features, (k, k), strides=(self.stride, self.stride),
                 padding="SAME", use_bias=True, dtype=self.dtype,
@@ -83,18 +92,23 @@ class QuantConv(nn.Module):
 
 
 def calibrate_deploy(model, deploy_vars: Dict[str, Any],
-                     images: jnp.ndarray) -> Dict[str, float]:
+                     images: jnp.ndarray,
+                     use_pct: bool = False) -> Dict[str, float]:
     """Run calibration images through the quant model's float path.
 
     ``model`` must be the ``cfg.replace(quant=True, quant_calibrate=True)``
     DISYolo; parameters come from the float deploy tree (same kernel/bias
-    names).  Returns {layer_name: input absmax}.
+    names).  Returns {layer_name: activation scale numerator} — the input
+    absmax, or with ``use_pct`` the ``calib_pct``-percentile absmax the
+    model was built with (``cfg.quant_calib_pct``), which is robust to
+    single-pixel outliers in the calibration images.
     """
     _, inter = model.apply(deploy_vars, images, train=False,
                            mutable=["intermediates"])
+    key = "in_pct" if use_pct else "in_absmax"
     out = {}
     for name, rec in inter["intermediates"].items():
-        out[name] = float(rec["in_absmax"][0])
+        out[name] = float(rec[key][0])
     return out
 
 

@@ -44,7 +44,10 @@ class Solver:
                  tf1_weights: Optional[str] = None):
         self.cfg = cfg
         self.mesh = mesh
-        self.data = data or DefectTrainData(cfg, "train", seed=seed)
+        # with device-side augs the host loader must not also flip /
+        # photometric (they'd apply twice)
+        self.data = data or DefectTrainData(cfg, "train", seed=seed,
+                                            host_augs=not cfg.device_side_augs)
         self.evaluator = evaluator
         self.val_data = val_data
         self.ckpt_dir = os.path.join(cfg.output_dir, "checkpoint")
@@ -86,35 +89,38 @@ class Solver:
 
         self.step_fn = ts.make_jitted_train_step(self.model, self.tx, mesh=mesh,
                                                  dp_axis=cfg.dp_axis)
-        self.predict_fn = api.make_jitted_predict(self.model)
+        # validation reuses the DP mesh: batches shard over chips, outputs
+        # come back replicated for the host-side scorer
+        self.predict_fn = api.make_jitted_predict(self.model, mesh=mesh,
+                                                  dp_axis=cfg.dp_axis)
+        self._paste_cache: Dict = {}   # per-size pasted programs, compile once
         self.rng = jax.random.PRNGKey(seed + 1)
 
     # ------------------------------------------------------------------
-    def validate(self) -> Optional[Dict]:
+    def validate(self, device_paste: Optional[bool] = None) -> Optional[Dict]:
+        """Validation sweep via the shared driver (eval/sweep.py).
+
+        ``device_paste`` defaults to on when running on a TPU backend: the
+        on-device crop/resize/paste keeps a real val split every save_iter
+        from making the train loop validation-bound (the host
+        ``detections_to_original`` route costs ~60 ms/image at 576^2).
+        """
         if self.evaluator is None or self.val_data is None:
             return None
+        from dis_yolo_tpu.eval.sweep import run_split
+        if device_paste is None:
+            device_paste = jax.default_backend() not in ("cpu", "gpu")
         images, names, windows = self.val_data.get()
-        b = self.cfg.batch_size
-        n = len(names)
         variables = {"params": self.state.params,
                      "batch_stats": self.state.batch_stats}
-        detdata = []
-        for v in range(0, n, b):
-            imgs = images[v:v + b]
-            wins = windows[v:v + b]
-            pad = b - imgs.shape[0]
-            if pad:  # keep the jitted shape fixed on the tail batch
-                imgs = np.concatenate([imgs, np.zeros((pad,) + imgs.shape[1:],
-                                                      imgs.dtype)])
-                wins = np.concatenate([wins, np.tile([0., 0., 1., 1.],
-                                                     (pad, 1)).astype(np.float32)])
-            dets, masks = self.predict_fn(variables, jnp.asarray(imgs),
-                                          jnp.asarray(wins))
-            dets, masks = np.asarray(dets), np.asarray(masks)
-            for i in range(min(b, n - v)):
-                detdata.append({"imname": names[v + i], "boxes": dets[i],
-                                "masks": masks[i]})
-        return self.evaluator.evaluate_detections(detdata)
+        detdata, t_pred = run_split(
+            self.cfg, self.model, variables, images, names, windows,
+            device_paste=device_paste, gt_sizes=self.evaluator.gt_sizes,
+            mesh=self.mesh, predict_fn=None if device_paste else self.predict_fn,
+            paste_cache=self._paste_cache)
+        result = self.evaluator.evaluate_detections(detdata)
+        result["t_device_s"] = t_pred
+        return result
 
     # ------------------------------------------------------------------
     def train(self, max_iter: Optional[int] = None):

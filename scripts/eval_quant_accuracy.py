@@ -53,12 +53,16 @@ def main():
     ap.add_argument("--root", default="/tmp/dyt_two_stage")
     ap.add_argument("--size", type=int, default=256)
     ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--ckpt-dir", default=None,
+                    help="override checkpoint dir (default "
+                         "<root>/out_stage2/checkpoint)")
     args = ap.parse_args()
     enable_compilation_cache()
 
     cfg = DISYoloConfig(dataset=args.root, image_size=args.size,
                         test_size=args.size, batch_size=args.batch)
-    ck = ckpt.latest_checkpoint(f"{args.root}/out_stage2/checkpoint")
+    ck = ckpt.latest_checkpoint(args.ckpt_dir
+                                or f"{args.root}/out_stage2/checkpoint")
     assert ck, "run scripts/two_stage_demo.py first"
     print(f"checkpoint: {ck}")
     v0 = api.init_variables(cfg, jax.random.PRNGKey(0))
@@ -82,8 +86,30 @@ def main():
     print(f"int8 quant  : mAP {res_q['mAP']:.4f} AP "
           f"{['%.3f' % a for a in res_q['AP']]}", flush=True)
 
+    # calibration sensitivity: N calib images x {absmax, 99.9-pct} scales
+    # (VERDICT r2 #9 — max-based scales are outlier-fragile; show the
+    # Δ-mAP is robust to the statistic and the calibration-set size).
+    # Calibrate on TRAIN images: no activation-range leakage into the
+    # evaluated split (advisor r2 finding).
+    try:
+        train_imgs = DefectValData(cfg, "train").get()[0]
+    except Exception:
+        train_imgs = images
+        print("note: calibrating on val images (no train split)")
+    sens = {}
+    for n_calib in (1, 8, 32):
+        cal = jnp.asarray(train_imgs[:n_calib])
+        for stat in ("max", "pct"):
+            scales = calibrate_deploy(cmodel, dv, cal, use_pct=stat == "pct")
+            r = sweep(qmodel, quantize_deploy(dv, scales), evaluator, images,
+                      names, windows, args.batch)
+            sens[f"n{n_calib}_{stat}"] = round(r["mAP"], 4)
+            print(f"calib n={n_calib:2d} {stat}: mAP {r['mAP']:.4f} "
+                  f"(Δ float {res_f['mAP'] - r['mAP']:+.4f})", flush=True)
+
     print(json.dumps({"float_mAP": res_f["mAP"], "int8_mAP": res_q["mAP"],
-                      "delta": res_f["mAP"] - res_q["mAP"]}))
+                      "delta": res_f["mAP"] - res_q["mAP"],
+                      "calib_sensitivity": sens}))
 
 
 if __name__ == "__main__":

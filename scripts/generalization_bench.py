@@ -1,0 +1,161 @@
+"""Held-out-family generalization benchmark (VERDICT r2 #3).
+
+Round-2 accuracy numbers were measured on synthetic data drawn from the
+same generator distribution as training.  This script provides the
+strongest accuracy evidence obtainable without the reference's private
+dataset (README.md:23 reports "up to 80%" on a held-out test split):
+
+  * train the reference's two-stage transfer schedule
+    (train_yolo3_mask.py:127-141) on render FAMILY_A
+  * evaluate mask mAP@0.5 on:
+      - test_a : FAMILY_A, disjoint seed      (in-distribution, held out)
+      - test_b : FAMILY_B                     (shifted texture/geometry)
+      - test_bc: FAMILY_B + noise/blur        (corrupted held-out)
+  * for both mask decoders (stride 2 = published, stride 1 = accuracy-best)
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts/generalization_bench.py \
+           [--root /tmp/dyt_gen] [--size 256] [--strides 2 1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dis_yolo_tpu.config import DISYoloConfig
+from dis_yolo_tpu.data.preprocess import build_ground_truth_cache
+from dis_yolo_tpu.data.synthetic import (FAMILY_A, FAMILY_B, FAMILY_B_CORRUPT,
+                                         generate_dataset)
+from dis_yolo_tpu.data.val_data import DefectValData
+from dis_yolo_tpu.eval.map_eval import Evaluator
+from dis_yolo_tpu.models import api
+from dis_yolo_tpu.train import checkpoint as ckpt
+from dis_yolo_tpu.train.solver import Solver
+from dis_yolo_tpu.utils.runtime import enable_compilation_cache
+
+TEST_SPLITS = (("test_a", FAMILY_A, 101), ("test_b", FAMILY_B, 101),
+               ("test_bc", FAMILY_B_CORRUPT, 101))
+
+
+def ensure_data(root: str, images: int):
+    if not os.path.isdir(os.path.join(root, "train")):
+        generate_dataset(root, phases=("train", "val"), images_per_phase=images,
+                         image_size=300, seed=3, family=FAMILY_A)
+        for ph in ("train", "val"):
+            build_ground_truth_cache(root, ph)
+    for ph, fam, seed in TEST_SPLITS:
+        if not os.path.isdir(os.path.join(root, ph)):
+            generate_dataset(root, phases=(ph,), images_per_phase=images,
+                             image_size=300, seed=seed, family=fam)
+            build_ground_truth_cache(root, ph)
+
+
+def eval_split(cfg: DISYoloConfig, model, variables, phase: str):
+    evaluator = Evaluator(cfg, phase)
+    val = DefectValData(cfg, phase)
+    images, names, windows = val.get()
+    run = api.make_jitted_predict(model)
+    b = cfg.batch_size
+    detdata = []
+    for v in range(0, len(names), b):
+        imgs = images[v:v + b]
+        wins = windows[v:v + b]
+        pad = b - imgs.shape[0]
+        if pad:
+            imgs = np.concatenate([imgs, np.zeros((pad,) + imgs.shape[1:],
+                                                  imgs.dtype)])
+            wins = np.concatenate(
+                [wins, np.tile([0., 0., 1., 1.], (pad, 1)).astype(np.float32)])
+        dets, masks = run(variables, jnp.asarray(imgs), jnp.asarray(wins))
+        dets, masks = np.asarray(dets), np.asarray(masks)
+        for i in range(min(b, len(names) - v)):
+            detdata.append({"imname": names[v + i], "boxes": dets[i],
+                            "masks": masks[i]})
+    res = evaluator.evaluate_detections(detdata)
+    return {"mAP": res["mAP"], "AP": res["AP"]}
+
+
+def train_two_stage(root: str, size: int, stride: int, batch: int,
+                    steps=(800, 600, 900)):
+    """Pretrain -> locked stage 1 -> full-unlock stage 2 (two_stage_demo
+    schedule); returns (cfg, final checkpoint path)."""
+    tag = f"s{stride}"
+    base = dict(dataset=root, image_size=size, test_size=size,
+                batch_size=batch, summary_iter=200, mask_stride=stride)
+
+    artifact = os.path.join(root, f"pretrained_{tag}.npy")
+    cfg0 = DISYoloConfig(**base, output_dir=os.path.join(root, f"out_pre_{tag}"),
+                         locked_layers=(), save_iter=steps[0],
+                         lr_boundaries=(steps[0],), lr_values=(1e-3, 1e-3))
+    if not os.path.isfile(artifact):
+        solver = Solver(cfg0, evaluator=Evaluator(cfg0, "val"),
+                        val_data=DefectValData(cfg0, "val"), restore="auto")
+        state = solver.train(max_iter=steps[0])
+        np.save(artifact, ckpt.export_tf1_weights(
+            {"params": state.params, "batch_stats": state.batch_stats}),
+            allow_pickle=True)
+        print(f"[{tag}] pretrain artifact saved", flush=True)
+
+    cfg1 = DISYoloConfig(**base, output_dir=os.path.join(root, f"out_s1_{tag}"),
+                         locked_layers=tuple(range(1, 53)), save_iter=steps[1],
+                         lr_boundaries=(steps[1],), lr_values=(1e-3, 1e-3))
+    solver1 = Solver(cfg1, evaluator=Evaluator(cfg1, "val"),
+                     val_data=DefectValData(cfg1, "val"), restore="auto",
+                     tf1_weights=artifact)
+    solver1.train(max_iter=steps[1])
+    ck1 = ckpt.latest_checkpoint(solver1.ckpt_dir)
+
+    s2 = steps[2]
+    cfg2 = DISYoloConfig(**base, output_dir=os.path.join(root, f"out_s2_{tag}"),
+                         locked_layers=(), save_iter=s2,
+                         lr_boundaries=(int(s2 * .4), int(s2 * .7), int(s2 * .85)),
+                         lr_values=(1e-3, 1e-4, 1e-5, 1e-6))
+    solver2 = Solver(cfg2, evaluator=Evaluator(cfg2, "val"),
+                     val_data=DefectValData(cfg2, "val"), restore="auto",
+                     weights_from=ck1)
+    solver2.train(max_iter=s2)
+    ck2 = ckpt.latest_checkpoint(solver2.ckpt_dir)
+    return cfg2, ck2
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", default="/tmp/dyt_gen")
+    ap.add_argument("--size", type=int, default=256)
+    ap.add_argument("--images", type=int, default=24)
+    ap.add_argument("--batch-size", type=int, default=4)
+    ap.add_argument("--strides", type=int, nargs="+", default=[2, 1])
+    ap.add_argument("--steps", type=int, nargs=3, default=[800, 600, 900],
+                    help="pretrain / stage-1 / stage-2 step counts")
+    args = ap.parse_args()
+    enable_compilation_cache()
+    ensure_data(args.root, args.images)
+
+    results = {}
+    for stride in args.strides:
+        cfg, ck = train_two_stage(args.root, args.size, stride,
+                                  args.batch_size, steps=tuple(args.steps))
+        model = api.create_model(cfg)
+        v = api.init_variables(cfg, jax.random.PRNGKey(0))
+        p, bs = ckpt.restore_weights(ck, v["params"], v["batch_stats"])
+        variables = {"params": p, "batch_stats": bs}
+        row = {}
+        for ph, _, _ in TEST_SPLITS:
+            row[ph] = eval_split(cfg, model, variables, ph)
+            print(f"[stride {stride}] {ph}: mAP={row[ph]['mAP']:.3f} "
+                  f"AP={['%.3f' % a for a in row[ph]['AP']]}", flush=True)
+        results[f"stride{stride}"] = row
+
+    out = os.path.join(args.root, "generalization_summary.json")
+    with open(out, "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
