@@ -2,21 +2,26 @@
 
 Fuses, for every detection box, the whole chain the reference expressed as
 ``tf.map_fn(assemble_kmask_from_box) -> sum(scoremap * cellmask) ->
-sigmoid`` (yolo3_net_pos.py:884-928) into a single VMEM-resident kernel:
+sigmoid`` (yolo3_net_pos.py:884-928) into one kernel, with two layouts
+picked automatically by score-map size:
 
-  grid = (D,)  one program per padded detection slot
-  scoremap [k*k, S, S] stays in VMEM across the whole grid (3.0 MB at
-  S=288), boxes are scalar-prefetched into SMEM, and each program computes
-  its [S, S] logit map with 9 predicated accumulations on the VPU — no
-  HBM re-reads of the score maps per box, which is what makes the jnp
-  gather formulation bandwidth-bound.
+  * VMEM-resident (S <= ~half the 576 input): grid = (D,) one program per
+    padded detection slot; the [k*k, S, S] score maps stay resident across
+    the whole grid (3.0 MB at S=288), boxes are scalar-prefetched into
+    SMEM, and each program computes its [S, S] logit map with separable
+    row/col-bin accumulations on the VPU — no HBM re-reads of the score
+    maps per box, which is what makes the jnp gather formulation
+    bandwidth-bound.
+  * spatially tiled (stride-1 decoder, S=576): grid walks row tiles; the
+    k^2 score-map row-slices and all D boxes' output rows stream through
+    VMEM per tile, removing the k^2*S^2 residency ceiling (measured
+    123 ms jnp gather -> 108 us at S=576, D=30).
 
 Numerics are identical to ops.mask_assembly (ties-to-even rounding of the
 interior grid lines, half-open [g_i, g_{i+1}) bins, zero outside the box);
-tests compare both paths bit-for-bit in interpreter mode.
-
-Used on the inference path only — training needs gradients w.r.t. the
-score maps and keeps the jnp formulation (XLA fuses it adequately there).
+tests compare all layouts bit-for-bit in interpreter mode, and the
+training path gets gradients through ``assemble_masks_trainable``'s
+custom-VJP backward kernel (same two layouts).
 """
 
 from __future__ import annotations
