@@ -121,7 +121,7 @@ def _assemble_one(boxes_ref, sm_ref, out_ref, d, slot, *, k: int, size: int,
     for ky in range(k):
         inner = jnp.zeros((size, size), jnp.float32)
         for kx in range(k):
-            inner += sm_ref[ky * k + kx, :, :] * col_ind[kx]
+            inner += sm_ref[ky * k + kx, :, :].astype(jnp.float32) * col_ind[kx]
         acc += row_ind[ky] * inner
     if apply_sigmoid:
         inside = (rows >= gy[0]) & (rows < gy[k]) & (cols >= gx[0]) & (cols < gx[k])
@@ -184,13 +184,58 @@ def _assembly_tiled_kernel(boxes_ref, sm_ref, out_ref, *, k: int, size: int,
             for ky in range(k):
                 inner = jnp.zeros((tile, size), jnp.float32)
                 for kx in range(k):
-                    inner += sm_ref[ky * k + kx, :, :] * col_ind[kx]
+                    inner += (sm_ref[ky * k + kx, :, :].astype(jnp.float32)
+                              * col_ind[kx])
                 acc += row_ind[ky] * inner
             if apply_sigmoid:
                 inside = ((rows >= gy[0]) & (rows < gy[k])
                           & (cols >= gx[0]) & (cols < gx[k]))
                 acc = jnp.where(inside, jax.nn.sigmoid(acc), 0.0)
             out_ref[d, :, :] = acc
+
+
+def _extract_fits(size: int, k: int, itemsize: int) -> bool:
+    """Whether the one-shot channel-extraction kernel fits VMEM:
+    sm2d [S, S*k^2] + one selection one-hot [S*k^2, S] + the full [k^2,S,S]
+    f32 output must be resident together."""
+    kk = k * k
+    return (2 * kk * size * size * itemsize      # sm2d + sel temp
+            + kk * size * size * 4               # output planes (f32)
+            + (1 << 20)) <= _VMEM_LIMIT
+
+
+def _extract_kernel(sm2d_ref, out_ref, *, k: int, size: int):
+    """[S, S*k^2] (channels-minor, a FREE reshape of the head's [S,S,k^2]
+    output) -> [k^2, S, S] channel planes, one one-hot matmul per channel.
+
+    Why a kernel: the assembly kernels need channels-first planes, and
+    producing that array as an XLA transpose forces a default-layout
+    relayout that costs 0.6 ms (bf16 graph) to 1.5 ms (int8 graph) at b1
+    — more than 10x the assembly kernel itself (probe scripts, round 3).
+    Extracting on the MXU instead reads the operand in its native layout
+    and writes the planes directly in the layout the assembly kernel
+    consumes.  One-hot selection is exact: every output element is a
+    single input value (no reductions > 1 term).
+    """
+    kk = k * k
+    rows = jax.lax.broadcasted_iota(jnp.int32, (size * kk, size), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (size * kk, size), 1)
+    sm2d = sm2d_ref[:]
+    for ch in range(kk):
+        sel = (rows == cols * kk + ch).astype(sm2d.dtype)
+        out_ref[ch, :, :] = jnp.dot(sm2d, sel,
+                                    preferred_element_type=jnp.float32)
+
+
+def _extract_planes(sm2d: jnp.ndarray, k: int, interpret: bool) -> jnp.ndarray:
+    size = sm2d.shape[0]
+    return pl.pallas_call(
+        functools.partial(_extract_kernel, k=k, size=size),
+        out_shape=jax.ShapeDtypeStruct((k * k, size, size), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(sm2d)
 
 
 def _call_assembly(sm_cf: jnp.ndarray, boxes_px: jnp.ndarray, k: int,
@@ -236,20 +281,39 @@ def _call_assembly(sm_cf: jnp.ndarray, boxes_px: jnp.ndarray, k: int,
 
 
 @functools.partial(jax.jit, static_argnames=("k", "apply_sigmoid", "interpret",
-                                             "force_tiled"))
+                                             "force_tiled", "operand_barrier"))
 def assemble_masks_pallas(scoremap: jnp.ndarray, boxes_norm: jnp.ndarray,
                           k: int = 3, apply_sigmoid: bool = True,
                           interpret: bool = False,
-                          force_tiled: bool = False) -> jnp.ndarray:
+                          force_tiled: bool = False,
+                          operand_barrier: bool = False) -> jnp.ndarray:
     """One image: scoremap [S,S,k*k], boxes_norm [D,4] yxyx -> [D,S,S].
 
     Padding rows (all-zero boxes) produce all-zero masks like the jnp path
     after validity masking: the box has zero extent, so ``inside`` is empty.
     Layout (VMEM-resident vs spatially tiled) is picked automatically from
     the score-map size; ``force_tiled`` pins the tiled path for testing.
+
+    The scoremap dtype passes through to the kernel operand (the kernel
+    accumulates in f32 either way); production callers pass the head's
+    bf16 output directly — same values, half the operand bytes.
+    ``operand_barrier`` optionally pins an ``optimization_barrier``
+    between the channels-first transpose and the kernel; measured
+    perf-neutral on both the bf16 and int8 serving graphs
+    (scripts/probe_int8_materialize.py) and kept for experiments.
     """
     size = scoremap.shape[0]
-    sm_cf = jnp.transpose(scoremap, (2, 0, 1)).astype(jnp.float32)
+    if scoremap.dtype not in (jnp.bfloat16, jnp.float32):
+        scoremap = scoremap.astype(jnp.float32)
+    if _extract_fits(size, k, scoremap.dtype.itemsize) and not force_tiled:
+        # channels-first planes via the MXU extraction kernel: the operand
+        # is a free reshape of the head output, no relayout transpose
+        sm2d = scoremap.reshape(size, size * k * k)
+        sm_cf = _extract_planes(sm2d, k, interpret)
+    else:
+        sm_cf = jnp.transpose(scoremap, (2, 0, 1)).astype(jnp.float32)
+        if operand_barrier:
+            sm_cf = jax.lax.optimization_barrier(sm_cf)
     boxes_px = jnp.round(boxes_norm.astype(jnp.float32) * size)
     return _call_assembly(sm_cf, boxes_px, k, apply_sigmoid, interpret,
                           force_tiled)
@@ -258,10 +322,12 @@ def assemble_masks_pallas(scoremap: jnp.ndarray, boxes_norm: jnp.ndarray,
 def assemble_masks_batch_pallas(scoremaps: jnp.ndarray, boxes_norm: jnp.ndarray,
                                 k: int = 3, apply_sigmoid: bool = True,
                                 interpret: bool = False,
-                                force_tiled: bool = False) -> jnp.ndarray:
+                                force_tiled: bool = False,
+                                operand_barrier: bool = True) -> jnp.ndarray:
     """Batched: [B,S,S,k*k] + [B,D,4] -> [B,D,S,S]."""
     fn = lambda sm, bx: assemble_masks_pallas(sm, bx, k, apply_sigmoid,
-                                              interpret, force_tiled)
+                                              interpret, force_tiled,
+                                              operand_barrier)
     return jax.vmap(fn)(scoremaps, boxes_norm)
 
 

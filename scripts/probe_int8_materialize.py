@@ -65,21 +65,22 @@ def main():
             return dets.sum() + sm_cf[0, 0, 0, 0].astype(jnp.float32)
         return f
 
-    def make_pal(model, variables, bf16_operand):
+    def make_pal(model, variables, barrier, f32_operand):
         from dis_yolo_tpu.ops.pallas_assembly import assemble_masks_batch_pallas
         def f(x):
             raws, dets = base(model, variables, x)
-            sm = raws[3].astype(jnp.bfloat16) if bf16_operand else raws[3]
-            masks = assemble_masks_batch_pallas(sm, dets[..., :4], cfg.k_map)
+            sm = raws[3].astype(jnp.float32) if f32_operand else raws[3]
+            masks = assemble_masks_batch_pallas(sm, dets[..., :4], cfg.k_map,
+                                                operand_barrier=barrier)
             return dets.sum() + masks.sum()
         return f
 
     runs = [
-        ("f32  mat(f32)", make_mat(fmodel, fv, jnp.float32)),
-        ("i8   mat(f32)", make_mat(qmodel, qv, jnp.float32)),
-        ("i8   mat(bf16)", make_mat(qmodel, qv, jnp.bfloat16)),
-        ("f32  pallas", make_pal(fmodel, fv, False)),
-        ("i8   pallas", make_pal(qmodel, qv, False)),
+        ("i8   pallas old (f32, no bar)", make_pal(qmodel, qv, False, True)),
+        ("i8   pallas bar f32", make_pal(qmodel, qv, True, True)),
+        ("i8   pallas bar bf16", make_pal(qmodel, qv, True, False)),
+        ("f32  pallas old", make_pal(fmodel, fv, False, True)),
+        ("f32  pallas bar bf16", make_pal(fmodel, fv, True, False)),
     ]
     for name, fn in runs:
         t = chain_scan_time(fn, img, n=40)
