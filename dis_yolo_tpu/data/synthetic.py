@@ -55,8 +55,13 @@ class RenderFamily:
 
 
 FAMILY_A = RenderFamily()
+# a plausible domain shift (different concrete, camera, defect geometry):
+# contrast-to-noise drops from A's ~3.4 to ~2.3 and every geometry range
+# shifts — but defects stay human-visible.  (An earlier B at mean 118 /
+# std 38 / darken 0.55 had CNR 1.4 — essentially invisible defects, which
+# tests nothing but failure.)
 FAMILY_B = RenderFamily(
-    name="B", texture_mean=118.0, texture_std=38.0, defect_darken=0.55,
+    name="B", texture_mean=128.0, texture_std=30.0, defect_darken=0.46,
     crack_thickness=(2, 5), crack_segments=(5, 10), spall_axes_div=(8, 4),
     rebar_thickness=(10, 18))
 FAMILY_B_CORRUPT = dataclasses.replace(

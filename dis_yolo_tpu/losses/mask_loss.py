@@ -137,7 +137,10 @@ def resize_gt_masks(true_masks: jnp.ndarray, size: int) -> jnp.ndarray:
     m = true_masks.astype(jnp.float32)
     wh = _tf1_bilinear_matrix(m.shape[-2], size)
     ww = _tf1_bilinear_matrix(m.shape[-1], size)
-    out = jnp.einsum("ih,...hw,jw->...ij", wh, m, ww)
+    # highest precision: TPU f32 matmuls otherwise use bf16 passes, which
+    # would perturb interpolation weights at non-integer ratios and flip
+    # round() boundary pixels
+    out = jnp.einsum("ih,...hw,jw->...ij", wh, m, ww, precision="highest")
     return jnp.round(out)
 
 

@@ -130,8 +130,11 @@ def main():
     ap.add_argument("--images", type=int, default=24)
     ap.add_argument("--batch-size", type=int, default=4)
     ap.add_argument("--strides", type=int, nargs="+", default=[2, 1])
-    ap.add_argument("--steps", type=int, nargs=3, default=[800, 600, 900],
-                    help="pretrain / stage-1 / stage-2 step counts")
+    ap.add_argument("--steps", type=int, nargs=3, default=[1500, 1200, 2400],
+                    help="pretrain / stage-1 / stage-2 step counts (long "
+                         "enough to clear the confidence ramp — at the old "
+                         "800/600/900 the net's max confidence was still "
+                         "~0.1 < the 0.25 eval threshold)")
     args = ap.parse_args()
     enable_compilation_cache()
     ensure_data(args.root, args.images)
