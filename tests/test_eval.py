@@ -199,3 +199,16 @@ def test_evaluator_rasterized_cache_roundtrip(tmp_path, rng):
     for stem in ev1.index:
         np.testing.assert_array_equal(ev3.gt_semantic[stem],
                                       ev1.gt_semantic[stem])
+
+
+def test_evaluate_detections_reports_post_time(synthetic_eval):
+    """t_post_s (the host crop/assemble stage the reference times
+    separately, calculate_test_map.py:301-302) is present and sane."""
+    cfg, ev, anns, index, rects = synthetic_eval
+    s = 96 // 2
+    detdata = [{"imname": stem,
+                "boxes": np.zeros((cfg.max_detection, 6), np.float32),
+                "masks": np.zeros((cfg.max_detection, s, s), np.float32)}
+               for stem in index]
+    res = ev.evaluate_detections(detdata)
+    assert res["t_post_s"] >= 0.0
