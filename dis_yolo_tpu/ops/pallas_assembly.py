@@ -208,14 +208,15 @@ def _extract_kernel(sm2d_ref, out_ref, *, k: int, size: int):
     """[S, S*k^2] (channels-minor, a FREE reshape of the head's [S,S,k^2]
     output) -> [k^2, S, S] channel planes, one one-hot matmul per channel.
 
-    Why a kernel: the assembly kernels need channels-first planes, and
-    producing that array as an XLA transpose forces a default-layout
-    relayout that costs 0.6 ms (bf16 graph) to 1.5 ms (int8 graph) at b1
-    — more than 10x the assembly kernel itself (probe scripts, round 3).
-    Extracting on the MXU instead reads the operand in its native layout
-    and writes the planes directly in the layout the assembly kernel
-    consumes.  One-hot selection is exact: every output element is a
-    single input value (no reductions > 1 term).
+    Negative result, kept opt-in (``use_extract``): built on the
+    hypothesis that the XLA channels-first transpose was the assembly
+    stage's hidden cost and the [S, S*k^2] reshape would be free.  Both
+    halves are wrong on TPU — minor-dim (8,128) tiling makes the reshape
+    a physical re-tiling, and the operand-layout probe showed the stage
+    cost is invariant across transpose/padded-transpose/extract variants
+    (the real cost is the score-map decoder subgraph itself,
+    scripts/probe_operand_layout.py).  One-hot selection is exact: every
+    output element is a single input value (no reductions > 1 term).
     """
     kk = k * k
     rows = jax.lax.broadcasted_iota(jnp.int32, (size * kk, size), 0)
@@ -281,12 +282,14 @@ def _call_assembly(sm_cf: jnp.ndarray, boxes_px: jnp.ndarray, k: int,
 
 
 @functools.partial(jax.jit, static_argnames=("k", "apply_sigmoid", "interpret",
-                                             "force_tiled", "operand_barrier"))
+                                             "force_tiled", "operand_barrier",
+                                             "use_extract"))
 def assemble_masks_pallas(scoremap: jnp.ndarray, boxes_norm: jnp.ndarray,
                           k: int = 3, apply_sigmoid: bool = True,
                           interpret: bool = False,
                           force_tiled: bool = False,
-                          operand_barrier: bool = False) -> jnp.ndarray:
+                          operand_barrier: bool = False,
+                          use_extract: bool = False) -> jnp.ndarray:
     """One image: scoremap [S,S,k*k], boxes_norm [D,4] yxyx -> [D,S,S].
 
     Padding rows (all-zero boxes) produce all-zero masks like the jnp path
@@ -301,13 +304,21 @@ def assemble_masks_pallas(scoremap: jnp.ndarray, boxes_norm: jnp.ndarray,
     between the channels-first transpose and the kernel; measured
     perf-neutral on both the bf16 and int8 serving graphs
     (scripts/probe_int8_materialize.py) and kept for experiments.
+
+    ``use_extract`` routes the channels-first operand through the MXU
+    one-hot extraction kernel instead of the XLA transpose.  Kept opt-in:
+    its premise (the [S, S*k^2] reshape is free) is wrong on TPU — the
+    9-wide minor dim is lane-padded, so the reshape is itself a physical
+    re-tiling, and the kernel measured *slower* than the transpose on
+    both serving graphs (f32 stage C 3.03 vs 2.93 ms, int8 3.7 vs 3.67;
+    scripts/probe_operand_layout.py).  Exact either way (bit-parity
+    tested), just not a win.
     """
     size = scoremap.shape[0]
     if scoremap.dtype not in (jnp.bfloat16, jnp.float32):
         scoremap = scoremap.astype(jnp.float32)
-    if _extract_fits(size, k, scoremap.dtype.itemsize) and not force_tiled:
-        # channels-first planes via the MXU extraction kernel: the operand
-        # is a free reshape of the head output, no relayout transpose
+    if (use_extract and _extract_fits(size, k, scoremap.dtype.itemsize)
+            and not force_tiled):
         sm2d = scoremap.reshape(size, size * k * k)
         sm_cf = _extract_planes(sm2d, k, interpret)
     else:

@@ -46,6 +46,17 @@ def test_sigmoid_inside_box(case):
     assert (got[~inside] == 0).all()
 
 
+def test_extract_operand_path_bit_exact(case):
+    """use_extract routes the operand through the MXU one-hot extraction
+    kernel (opt-in — measured slower than the transpose on TPU, see
+    scripts/probe_operand_layout.py); bits must match either way."""
+    sm, boxes, k = case
+    want = np.asarray(ma.assemble_masks(sm, boxes, k))
+    got = np.asarray(assemble_masks_pallas(sm, boxes, k, apply_sigmoid=False,
+                                           interpret=True, use_extract=True))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_batched(case):
     sm, boxes, k = case
     sms = jnp.stack([sm, sm * 2.0])
