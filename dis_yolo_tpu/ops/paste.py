@@ -181,6 +181,25 @@ def merged_semantic_single(full_masks: jnp.ndarray, classids: jnp.ndarray,
     return jnp.where(win > 0, (win & 255) + 1, 0).astype(jnp.uint8)
 
 
+def pack_mask_bits(m: jnp.ndarray) -> jnp.ndarray:
+    """``np.packbits`` analog on the last axis (bitorder='big'), on device.
+
+    Bool masks fetched to host for evaluation cost 1 byte/pixel on the
+    wire; on a network-attached TPU the validation sweep is transfer-bound
+    (measured: the device-paste route lost 2.2x to the host route purely
+    on fetched bytes, scripts/bench_validate.py).  Packing 8 pixels/byte
+    on device cuts the fetch 8x; hosts unpack with
+    ``np.unpackbits(..., axis=-1, count=W)`` — an exact round-trip.
+    """
+    w = m.shape[-1]
+    pad = -w % 8
+    if pad:
+        m = jnp.pad(m, [(0, 0)] * (m.ndim - 1) + [(0, pad)])
+    m8 = m.reshape(m.shape[:-1] + ((w + pad) // 8, 8))
+    weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.int32)
+    return (m8.astype(jnp.int32) * weights).sum(-1).astype(jnp.uint8)
+
+
 def paste_masks_batch(masks: jnp.ndarray, dets: jnp.ndarray,
                       image_h: int, image_w: int, net_size: int):
     """Batched full pipeline tail: [B,D,S,S] + [B,D,6] ->

@@ -155,3 +155,15 @@ def test_paste_identity_box(rng):
         jnp.asarray(mask[None, None]), jnp.asarray(dets[None]), ih, iw, net))
     want = detections_to_original(dets, mask[None], ih, iw, net)[0]["mask"]
     np.testing.assert_array_equal(full[0, 0], want)
+
+
+def test_pack_mask_bits_matches_np_packbits(rng):
+    """Device bit-packing is an exact np.packbits (bitorder='big') analog,
+    including non-multiple-of-8 widths; unpackbits(count=W) round-trips."""
+    for w in (64, 75, 600, 13):
+        m = rng.rand(3, 5, 17, w) > 0.5
+        got = np.asarray(paste.pack_mask_bits(jnp.asarray(m)))
+        want = np.packbits(m, axis=-1)
+        np.testing.assert_array_equal(got, want)
+        back = np.unpackbits(got, axis=-1, count=w).astype(bool)
+        np.testing.assert_array_equal(back, m)
