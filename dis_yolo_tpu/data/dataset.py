@@ -346,6 +346,11 @@ class DefectTrainData:
     def start_prefetch(self):
         if self._thread is not None:
             return
+        # restartable: Solver.train stops the thread when it returns, and a
+        # later train()/resume on the same Solver must be able to bring it
+        # back — with the event still set the fresh worker would exit
+        # immediately and next_prefetched() would block forever
+        self._stop.clear()
 
         def worker():
             while not self._stop.is_set():

@@ -156,6 +156,22 @@ def test_prefetch_thread(synth_root):
     assert b1["images"].shape == b2["images"].shape
 
 
+def test_prefetch_restart_after_stop(synth_root):
+    """stop() then start_prefetch() must serve batches again: Solver.train
+    stops the thread on exit, and a second train()/resume on the same
+    Solver used to deadlock on an immediately-exiting worker (the stop
+    event stayed set — found by scripts/bench_augment.py hanging)."""
+    cfg = DISYoloConfig(dataset=synth_root, image_size=96, batch_size=2)
+    data = DefectTrainData(cfg, "train", seed=1)
+    data.start_prefetch()
+    data.next_prefetched()
+    data.stop()
+    data.start_prefetch()
+    b = data.next_prefetched()     # hangs forever without the _stop.clear()
+    data.stop()
+    assert b["images"].shape[0] == 2
+
+
 def test_val_loader_and_window(synth_root):
     cfg = DISYoloConfig(dataset=synth_root, test_size=96)
     val = DefectValData(cfg, "val")
