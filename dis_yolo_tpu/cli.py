@@ -253,9 +253,10 @@ def main(argv=None):
     p.add_argument("--quant", action="store_true",
                    help="serve the int8 post-training-quantized graph "
                         "(calibrated on train-split images)")
-    p.add_argument("--quant-calib", default="max", choices=["max", "pct"],
+    p.add_argument("--quant-calib", default="pct", choices=["max", "pct"],
                    help="activation-scale statistic: absmax or the "
-                        "cfg.quant_calib_pct percentile (outlier-robust)")
+                        "cfg.quant_calib_pct percentile (outlier-robust; "
+                        "default — see BENCHMARKS calibration sensitivity)")
     p.add_argument("--quant-calib-images", type=int, default=8,
                    help="number of calibration images")
     p.add_argument("--device-paste", action="store_true",
