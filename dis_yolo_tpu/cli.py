@@ -176,12 +176,40 @@ def cmd_infer(args):
         p, bs = ckpt.restore_weights(args.checkpoint, variables["params"],
                                      variables["batch_stats"])
         variables = {"params": p, "batch_stats": bs}
-    variables = fold_batchnorm(model, variables)
-    run = api.make_jitted_predict(model, obj_thresh=args.threshold)
 
     paths = ([os.path.join(args.images, f) for f in sorted(os.listdir(args.images))
               if f.lower().endswith((".jpg", ".png", ".jpeg"))]
              if os.path.isdir(args.images) else [args.images])
+
+    if getattr(args, "quant", False):
+        # int8 serving for folder inference (same graph as eval --quant);
+        # no train split here, so activation scales calibrate on the first
+        # letterboxed inputs themselves — fine for serving, where the
+        # inputs ARE the deployment distribution.
+        from dis_yolo_tpu.models.fold import deploy_variables
+        from dis_yolo_tpu.models.quant import (calibrate_deploy,
+                                               quantize_deploy)
+        calib = []
+        for path in paths[:8]:
+            bgr = cv2.imread(path)
+            if bgr is None:
+                raise SystemExit(f"error: cannot read image {path!r}")
+            canvas, _ = letterbox_image(
+                cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB), cfg.test_size)
+            calib.append(canvas)
+        dv = deploy_variables(variables)
+        cmodel = api.create_model(cfg.replace(quant=True,
+                                              quant_calibrate=True))
+        scales = calibrate_deploy(cmodel, dv, jnp.asarray(np.stack(calib)),
+                                  use_pct=args.quant_calib == "pct")
+        variables = quantize_deploy(dv, scales)
+        model = api.create_model(cfg.replace(quant=True))
+        print(f"int8 graph: {len(scales)} layers quantized "
+              f"({args.quant_calib} scales, {len(calib)} calib images)")
+    else:
+        variables = fold_batchnorm(model, variables)
+    run = api.make_jitted_predict(model, obj_thresh=args.threshold)
+
     os.makedirs(args.out, exist_ok=True)
     for path in paths:
         bgr = cv2.imread(path)
@@ -276,6 +304,10 @@ def main(argv=None):
     p.add_argument("--out", default="infer_out")
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--threshold", type=float, default=0.25)
+    p.add_argument("--quant", action="store_true",
+                   help="serve the int8 graph (activation scales "
+                        "calibrated on the first input images)")
+    p.add_argument("--quant-calib", default="pct", choices=["max", "pct"])
     p.set_defaults(fn=cmd_infer)
 
     p = sub.add_parser("convert-tf1", help="TF1 .ckpt -> .npy weight dict")

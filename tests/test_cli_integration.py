@@ -84,6 +84,22 @@ def test_infer_writes_overlays(trained):
     assert im is not None and im.shape[2] == 3
 
 
+def test_infer_quant_writes_overlays(trained, capsys):
+    """--quant on infer serves the int8 graph for folder inference,
+    calibrating activation scales on the inputs themselves."""
+    root, data, ck = trained
+    infer_out = str(root / "infer_q")
+    main(["infer", "--dataset", data, "--image-size", "64",
+          "--images", os.path.join(data, "test", "images"),
+          "--out", infer_out, "--checkpoint", ck, "--threshold", "0.5",
+          "--quant"])
+    assert "layers quantized (pct scales" in capsys.readouterr().out
+    outs = os.listdir(infer_out)
+    assert len(outs) == 4
+    im = cv2.imread(os.path.join(infer_out, outs[0]))
+    assert im is not None and im.shape[2] == 3
+
+
 def test_infer_unreadable_image_errors(trained):
     root, data, ck = trained
     bad = str(root / "bad.jpg")
