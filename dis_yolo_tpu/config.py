@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
-from typing import Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 
@@ -138,6 +138,12 @@ class DISYoloConfig:
     # frozen.  Stage 1 = backbone 1..52 locked (yolo3_net_pos.py:155-156).
     locked_layers: Tuple[int, ...] = tuple(range(1, 53))
     dp_axis: str = "dp"
+    # Cross-replica (sync) BatchNorm: mesh axis name the batch moments are
+    # pmean'd over, or None for device-local statistics.  Set automatically
+    # by the mesh train step so DP training computes the exact global-batch
+    # statistics a single device would (the reference is single-GPU, so
+    # sync-BN is what preserves its training semantics under DP).
+    bn_axis: Optional[str] = None
 
     # -------------------------------------------------------------------------
     @property

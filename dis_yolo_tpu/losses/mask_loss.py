@@ -144,6 +144,21 @@ def resize_gt_masks(true_masks: jnp.ndarray, size: int) -> jnp.ndarray:
     return jnp.round(out)
 
 
+def mask_loss_per_image(keys: jax.Array, scoremaps: jnp.ndarray,
+                        detections: jnp.ndarray, true_boxes: jnp.ndarray,
+                        masks_small: jnp.ndarray, cfg: DISYoloConfig,
+                        iou_threshold: float = 0.5) -> jnp.ndarray:
+    """[B] per-image mask losses from per-image keys + pre-resized GT masks.
+
+    Split out of ``mask_loss`` so the DP train step can run this block
+    device-locally under ``shard_map`` (everything here is per-image; see
+    train_step._per_image_postprocess for why that matters).
+    """
+    return jax.vmap(
+        lambda kk, sm, det, tb, tm: mask_loss_single(kk, sm, det, tb, tm, cfg, iou_threshold)
+    )(keys, scoremaps, detections, true_boxes, masks_small)
+
+
 def mask_loss(key: jax.Array, scoremaps: jnp.ndarray, detections: jnp.ndarray,
               true_boxes: jnp.ndarray, true_masks: jnp.ndarray,
               cfg: DISYoloConfig, iou_threshold: float = 0.5) -> jnp.ndarray:
@@ -157,7 +172,6 @@ def mask_loss(key: jax.Array, scoremaps: jnp.ndarray, detections: jnp.ndarray,
     s = scoremaps.shape[1]
     masks_small = resize_gt_masks(true_masks, s)
     keys = jax.random.split(key, scoremaps.shape[0])
-    per_image = jax.vmap(
-        lambda kk, sm, det, tb, tm: mask_loss_single(kk, sm, det, tb, tm, cfg, iou_threshold)
-    )(keys, scoremaps, detections, true_boxes, masks_small)
+    per_image = mask_loss_per_image(keys, scoremaps, detections, true_boxes,
+                                    masks_small, cfg, iou_threshold)
     return jnp.mean(per_image)

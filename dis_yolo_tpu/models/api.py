@@ -104,8 +104,11 @@ def make_jitted_predict(model: DISYolo, obj_thresh: Optional[float] = None,
     updated weights don't retrigger compilation.
 
     With a ``mesh``, the image/window batch is sharded over ``dp_axis`` and
-    the weights replicated — multi-chip batched serving; outputs come back
-    replicated for host-side postprocessing.
+    the weights replicated — multi-chip batched serving.  Outputs stay
+    batch-sharded: the host fetches each addressable shard directly (no
+    collective), and re-gathering [B,30,S,S] masks onto every chip would
+    be pure wasted ICI bandwidth for a serving path whose next stop is the
+    host (or the device-paste route, which is also per-image).
     """
     if mesh is None:
         @functools.partial(jax.jit, static_argnums=())
@@ -116,6 +119,7 @@ def make_jitted_predict(model: DISYolo, obj_thresh: Optional[float] = None,
     from jax.sharding import NamedSharding, PartitionSpec as P
     bsh = NamedSharding(mesh, P(dp_axis))
     repl = NamedSharding(mesh, P())
+    spec = P(dp_axis)
 
     @jax.jit
     def _run_dp(variables, images, windows):
@@ -123,8 +127,17 @@ def make_jitted_predict(model: DISYolo, obj_thresh: Optional[float] = None,
         windows = jax.lax.with_sharding_constraint(windows, bsh)
         variables = jax.tree.map(
             lambda x: jax.lax.with_sharding_constraint(x, repl), variables)
-        dets, masks = predict(model, variables, images, windows, obj_thresh)
-        return (jax.lax.with_sharding_constraint(dets, repl),
-                jax.lax.with_sharding_constraint(masks, repl))
+        raws = forward(model, variables, images, train=False)
+        # post-forward decode/NMS/assembly is strictly per-image: run it
+        # device-locally under shard_map.  GSPMD auto-partitioning would
+        # instead lower each vmapped lax.top_k (NMS shortlist, fixpoint
+        # ordering) to an all-gather + replicated TopK — wasted wire bytes
+        # on a real mesh and an unordered collective that can deadlock the
+        # CPU in-process runtime (see train_step._per_image_roi_losses).
+        # With sharded outputs this serving module contains ZERO
+        # collectives, so no rendezvous can ever be mis-ordered.
+        return jax.shard_map(
+            lambda r, w: predict_from_outputs(model.cfg, r, w, obj_thresh),
+            mesh=mesh, in_specs=(spec, spec), out_specs=spec)(raws, windows)
 
     return _run_dp

@@ -56,6 +56,7 @@ class DISYolo(nn.Module):
         return ConvBN(
             features=features, kernel=kernel, stride=stride, act=True,
             alpha=cfg.alpha, lock=idx in cfg.locked_layers,
+            bn_axis=cfg.bn_axis,
             dtype=jnp.dtype(cfg.compute_dtype), param_dtype=jnp.dtype(cfg.param_dtype),
             name=f"convolutional{idx}",
         )

@@ -43,6 +43,8 @@ class ConvBN(nn.Module):
     lock: bool = False
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
+    # mesh axis for cross-replica (sync) BN statistics, None = local batch
+    bn_axis: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -56,7 +58,7 @@ class ConvBN(nn.Module):
         # moving statistics even in training (reference lock branch :77-81).
         x = nn.BatchNorm(
             use_running_average=(not train) or self.lock,
-            momentum=BN_MOMENTUM, epsilon=BN_EPS,
+            momentum=BN_MOMENTUM, epsilon=BN_EPS, axis_name=self.bn_axis,
             dtype=jnp.float32, param_dtype=jnp.float32, name="bn",
         )(x.astype(jnp.float32))
         x = x.astype(self.dtype)

@@ -129,16 +129,22 @@ def _fixpoint_nms(boxes: jnp.ndarray, scores: jnp.ndarray,
         | ((scores[:, None] == scores[None, :]) & (idx[:, None] < idx[None, :]))
     suppress = (iou > iou_thresh) & same_class & beats        # [j, i]
 
+    def sweep(kept):
+        return valid & ~jnp.any(suppress & kept[:, None], axis=0)
+
+    # carry (kept, prev) instead of (kept, changed_flag): a literal True
+    # init flag is vma-unvarying while the body output is varying, which
+    # shard_map's while_loop typing rejects; two valid-derived arrays stay
+    # consistently varying and cost one extra any-reduction per sweep.
     def cond(state):
-        kept, prev_changed = state
-        return prev_changed
+        kept, prev = state
+        return jnp.any(kept != prev)
 
     def body(state):
         kept, _ = state
-        new = valid & ~jnp.any(suppress & kept[:, None], axis=0)
-        return new, jnp.any(new != kept)
+        return sweep(kept), kept
 
-    kept, _ = jax.lax.while_loop(cond, body, (valid, jnp.asarray(True)))
+    kept, _ = jax.lax.while_loop(cond, body, (sweep(valid), valid))
 
     k = min(max_det, scores.shape[0])
     top_score, top_idx = jax.lax.top_k(jnp.where(kept, scores, -jnp.inf), k)

@@ -24,7 +24,8 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from dis_yolo_tpu.config import DISYoloConfig
-from dis_yolo_tpu.losses.mask_loss import mask_loss
+from dis_yolo_tpu.losses.mask_loss import (mask_loss, mask_loss_per_image,
+                                           resize_gt_masks)
 from dis_yolo_tpu.losses.yolo_loss import yolo_loss
 from dis_yolo_tpu.models.dis_yolo import DISYolo
 from dis_yolo_tpu.ops import nms
@@ -105,13 +106,32 @@ def make_optimizer(params, cfg: DISYoloConfig,
                                  labels)
 
 
-def total_loss_fn(params, batch_stats, batch: Dict[str, jnp.ndarray],
-                  key: jax.Array, model: DISYolo
-                  ) -> Tuple[jnp.ndarray, Tuple[Any, Dict[str, jnp.ndarray]]]:
-    """Full training loss. ``batch`` fields (the reference 7-tuple):
+def _per_image_roi_losses(keys, preds, windows, scoremaps, true_boxes,
+                          masks_small, cfg: DISYoloConfig) -> jnp.ndarray:
+    """[B] per-image NMS-proposal + ROI mask losses (no cross-image math).
 
-    images [B,H,W,3], true_masks [B,T,H,W] bool, true_boxes [B,1,1,1,T,5],
-    labels_s8 / labels_s16 / labels_s32 [B,h,w,A,5+C], windows [B,4].
+    Every op here is strictly per-image, so under the mesh train step it
+    runs device-locally inside ``shard_map``.  GSPMD auto-partitioning
+    would instead lower each tiny vmapped ``lax.top_k`` (NMS shortlist /
+    fixpoint ordering / random ROI takes) to an all-gather + replicated
+    TopK custom-call — wasted wire bytes on a real mesh, and an unordered
+    collective that can cross-deadlock the CPU in-process runtime used by
+    the virtual-device dry run (see ``make_jitted_train_step``).
+    """
+    dets = jax.lax.stop_gradient(
+        nms.filter_detections(preds, windows, cfg, cfg.obj_threshold))
+    return mask_loss_per_image(keys, scoremaps, dets, true_boxes, masks_small,
+                               cfg)
+
+
+def total_loss_from_keys(params, batch_stats, batch: Dict[str, jnp.ndarray],
+                         keys: jax.Array, model: DISYolo
+                         ) -> Tuple[jnp.ndarray, Tuple[Any, Dict[str, jnp.ndarray]]]:
+    """Full training loss from pre-split per-image RNG keys [B, 2].
+
+    Taking per-image keys (instead of one key split inside) lets the mesh
+    step shard the key array with the batch, so every image sees the same
+    ROI-sampling randomness whether the step runs on 1 or N devices.
     """
     cfg = model.cfg
     variables = {"params": params, "batch_stats": batch_stats}
@@ -125,10 +145,13 @@ def total_loss_fn(params, batch_stats, batch: Dict[str, jnp.ndarray],
 
     # proposals for the mask subnet; rounding inside the assembly already
     # kills any box gradient in the reference, so stop_gradient is exact
-    dets = jax.lax.stop_gradient(
-        nms.filter_detections(preds, batch["windows"], cfg, cfg.obj_threshold))
-    m_loss = mask_loss(key, scoremaps, dets, batch["true_boxes"],
-                       batch["true_masks"], cfg)
+    true_boxes = batch["true_boxes"]
+    if true_boxes.ndim == 6:
+        true_boxes = true_boxes[:, 0, 0, 0]
+    masks_small = resize_gt_masks(batch["true_masks"], scoremaps.shape[1])
+    per_image = _per_image_roi_losses(keys, preds, batch["windows"],
+                                      scoremaps, true_boxes, masks_small, cfg)
+    m_loss = jnp.mean(per_image)
 
     l2_mask = l2_params_mask(params, cfg)
     l2 = 0.5 * cfg.l2_scale * sum(
@@ -140,6 +163,18 @@ def total_loss_fn(params, batch_stats, batch: Dict[str, jnp.ndarray],
     metrics = dict(losses)
     metrics.update(mask_loss=m_loss, l2_loss=l2, total_loss=total)
     return total, (new_stats["batch_stats"], metrics)
+
+
+def total_loss_fn(params, batch_stats, batch: Dict[str, jnp.ndarray],
+                  key: jax.Array, model: DISYolo
+                  ) -> Tuple[jnp.ndarray, Tuple[Any, Dict[str, jnp.ndarray]]]:
+    """Full training loss. ``batch`` fields (the reference 7-tuple):
+
+    images [B,H,W,3], true_masks [B,T,H,W] bool, true_boxes [B,1,1,1,T,5],
+    labels_s8 / labels_s16 / labels_s32 [B,h,w,A,5+C], windows [B,4].
+    """
+    keys = jax.random.split(key, batch["images"].shape[0])
+    return total_loss_from_keys(params, batch_stats, batch, keys, model)
 
 
 def train_step(state: TrainState, batch, key, model: DISYolo,
@@ -156,32 +191,82 @@ def make_jitted_train_step(model: DISYolo, tx: optax.GradientTransformation,
                            mesh: Mesh = None, dp_axis: str = "dp"):
     """Compile the train step.
 
-    With a ``mesh``, inputs are constrained batch-sharded and state
-    replicated; XLA turns the gradient reduction into a psum over ICI.
+    The mesh variant is explicit SPMD: the whole step (forward, backward,
+    optimizer) runs per-device under ``shard_map`` with the batch sharded
+    over ``dp_axis``, and the module contains exactly ONE unordered
+    collective — a single pmean of the flattened (grads, metrics) vector.
+    BatchNorm moments are pmean'd inside the forward (sync-BN via
+    ``cfg.bn_axis``), which keeps training semantics identical to a single
+    device computing the global batch; those collectives form a data-
+    dependency chain through the network, so they can never be reordered
+    against each other.
+
+    Why not GSPMD auto-partitioning (round-2 design): the partitioner
+    emits one all-reduce per parameter gradient — ~50 collectives with no
+    mutual data dependencies.  XLA:CPU's in-process collective runtime
+    executes thunks out of order (SplitReadyQueue), so two virtual devices
+    can block at *different* rendezvous and deadlock — which is exactly
+    what the driver's 8-virtual-device dry run hit on a 1-core host.  On
+    real TPU meshes the single fused gradient all-reduce is also the
+    bandwidth-optimal shape (one launch, full ICI payload) rather than ~50
+    small ones.
     """
-    base_step = functools.partial(train_step, model=model, tx=tx)
-    if model.cfg.device_side_augs:
+    cfg = model.cfg
+    if cfg.device_side_augs:
         from dis_yolo_tpu.data.device_augment import augment_batch
 
-        def step_fn(state, batch, key):
-            ka, kb = jax.random.split(key)
-            batch = augment_batch(ka, batch, model.cfg.image_size,
-                                  flips=model.cfg.flipped,
-                                  photometric=model.cfg.blur_noise_light)
-            return base_step(state, batch, kb)
-    else:
-        step_fn = base_step
     if mesh is None:
+        base_step = functools.partial(train_step, model=model, tx=tx)
+        if cfg.device_side_augs:
+            def step_fn(state, batch, key):
+                ka, kb = jax.random.split(key)
+                batch = augment_batch(ka, batch, cfg.image_size,
+                                      flips=cfg.flipped,
+                                      photometric=cfg.blur_noise_light)
+                return base_step(state, batch, kb)
+        else:
+            step_fn = base_step
         return jax.jit(step_fn)
 
-    repl = NamedSharding(mesh, P())
-    bsh = NamedSharding(mesh, P(dp_axis))
+    from jax.flatten_util import ravel_pytree
+
+    # sync-BN: batch moments pmean'd over dp -> exact global-batch stats
+    model_sync = model.clone(cfg=cfg.replace(bn_axis=dp_axis))
+
+    def local_step(state, batch, keys, akey):
+        if cfg.device_side_augs:
+            akey = jax.random.fold_in(akey, jax.lax.axis_index(dp_axis))
+            batch = augment_batch(akey, batch, cfg.image_size,
+                                  flips=cfg.flipped,
+                                  photometric=cfg.blur_noise_light)
+        grad_fn = jax.value_and_grad(total_loss_from_keys, has_aux=True)
+        (_, (new_stats, metrics)), grads = grad_fn(
+            state.params, state.batch_stats, batch, keys, model_sync)
+        flat, unravel = ravel_pytree(grads)
+        mleaves, mdef = jax.tree.flatten(metrics)
+        packed = jnp.concatenate(
+            [flat, jnp.stack([m.astype(flat.dtype) for m in mleaves])])
+        # the ONE unordered cross-device collective of the whole module
+        packed = jax.lax.pmean(packed, dp_axis)
+        grads = unravel(packed[:flat.size])
+        metrics = jax.tree.unflatten(
+            mdef, [packed[flat.size + i] for i in range(len(mleaves))])
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return (TrainState(new_params, new_stats, new_opt, state.step + 1),
+                metrics)
+
+    sharded = jax.shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P(), P(dp_axis), P(dp_axis), P()),
+        out_specs=(P(), P()))
 
     def sharded_step(state, batch, key):
-        batch = jax.lax.with_sharding_constraint(
-            batch, jax.tree.map(lambda _: bsh, batch))
-        state = jax.lax.with_sharding_constraint(
-            state, jax.tree.map(lambda _: repl, state))
-        return step_fn(state, batch, key)
+        if cfg.device_side_augs:
+            akey, key = jax.random.split(key)
+        else:
+            akey = key  # unused inside
+        keys = jax.random.split(key, batch["images"].shape[0])
+        return sharded(state, batch, keys, akey)
 
-    return jax.jit(sharded_step, out_shardings=repl)
+    return jax.jit(sharded_step, out_shardings=NamedSharding(mesh, P()))

@@ -10,9 +10,21 @@ remote TPU platform, so we must both set XLA_FLAGS *and* override
 
 import os
 
-_FLAG = "--xla_force_host_platform_device_count=8"
-if _FLAG not in os.environ.get("XLA_FLAGS", ""):
-    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") + " " + _FLAG).strip()
+# Single-thread Eigen + generous collective timeouts: XLA:CPU's in-process
+# collective rendezvous blocks shared Eigen-pool workers, and a device whose
+# multi-threaded conv subtasks queue behind those blocked workers can starve
+# (observed fatal: "Termination timeout ... only 6 of 8 arrived").  Single-
+# threaded compute always drains on the last free worker, so every device
+# reaches the rendezvous.  CPU-test-only; real-TPU runs never see this.
+_FLAGS = (
+    "--xla_force_host_platform_device_count=8",
+    "--xla_cpu_multi_thread_eigen=false",
+    "--xla_cpu_collective_call_warn_stuck_timeout_seconds=60",
+    "--xla_cpu_collective_call_terminate_timeout_seconds=600",
+)
+_have = os.environ.get("XLA_FLAGS", "")
+os.environ["XLA_FLAGS"] = " ".join(
+    (_have,) + tuple(f for f in _FLAGS if f.split("=")[0] not in _have)).strip()
 
 import jax  # noqa: E402
 
