@@ -124,6 +124,12 @@ class DISYoloConfig:
     # step (data/device_augment.py); pair with
     # DefectTrainData(host_augs=False).
     device_side_augs: bool = False
+    # Per-layer rematerialization: each ConvBN's internals (conv output,
+    # f32 normalized values, activation) are recomputed in the backward
+    # pass instead of stored, keeping only layer inputs live — ~3x less
+    # activation HBM, raising the max trainable batch at 576^2 at the cost
+    # of re-running the (cheap, MXU-bound) forward convs during backprop.
+    remat: bool = False
     # Fused Pallas NMS kernel (suppression matrix VMEM-resident).  Exact
     # parity with the jnp path and ~10% faster; off by default because the
     # serial select-rounds dominate either way.

@@ -53,7 +53,12 @@ class DISYolo(nn.Module):
                 param_dtype=jnp.dtype(cfg.param_dtype),
                 name=f"convolutional{idx}",
             )
-        return ConvBN(
+        # cfg.remat: store only each layer's input for backprop and
+        # recompute conv/BN/act inside the backward pass (argnums: 0=self,
+        # 1=x, 2=train — train is a Python bool, so static).
+        cls = (nn.remat(ConvBN, static_argnums=(2,)) if cfg.remat
+               else ConvBN)
+        return cls(
             features=features, kernel=kernel, stride=stride, act=True,
             alpha=cfg.alpha, lock=idx in cfg.locked_layers,
             bn_axis=cfg.bn_axis,

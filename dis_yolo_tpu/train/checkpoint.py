@@ -30,19 +30,47 @@ STAGE1_CONV_BN = tuple(range(1, 53)) + tuple(range(53, 59)) + \
 STAGE1_CONV_BIAS = (59, 67, 75)
 
 
-def save_checkpoint(ckpt_dir: str, state, step: int) -> str:
+# One long-lived checkpointer so saves are ASYNC across training steps:
+# StandardCheckpointer.save copies device->host synchronously (so the
+# arrays may be donated/mutated immediately after it returns) and runs
+# the disk serialization on a background thread.  The blocking
+# wait_until_finished moves to the *next* save (at most one in flight,
+# and the interrupted-save rmtree below stays race-free) and to
+# train()-exit via wait_for_checkpoints().
+_CKPTR: Optional[ocp.StandardCheckpointer] = None
+
+
+def _checkpointer() -> ocp.StandardCheckpointer:
+    global _CKPTR
+    if _CKPTR is None:
+        _CKPTR = ocp.StandardCheckpointer()
+    return _CKPTR
+
+
+def wait_for_checkpoints() -> None:
+    """Block until every async save has committed to disk."""
+    if _CKPTR is not None:
+        _CKPTR.wait_until_finished()
+
+
+def save_checkpoint(ckpt_dir: str, state, step: int, wait: bool = False) -> str:
     """Save the full TrainState (resume) plus a weights-only artifact
     (params + batch_stats) usable across stage configs whose optimizer
-    trees differ (stage-1 vs stage-2 trainable masks)."""
+    trees differ (stage-1 vs stage-2 trainable masks).
+
+    Returns once the data is safely copied off-device; the disk write
+    completes in the background unless ``wait=True``."""
     path = os.path.join(os.path.abspath(ckpt_dir), f"step_{step:08d}")
+    ckptr = _checkpointer()
+    ckptr.wait_until_finished()  # previous async save, if still in flight
     if os.path.isdir(path):  # re-run over an interrupted save
         import shutil
         shutil.rmtree(path)
-    ckptr = ocp.StandardCheckpointer()
     ckptr.save(os.path.join(path, "state"), state)
     ckptr.save(os.path.join(path, "weights"),
                {"params": state.params, "batch_stats": state.batch_stats})
-    ckptr.wait_until_finished()
+    if wait:
+        ckptr.wait_until_finished()
     return path
 
 

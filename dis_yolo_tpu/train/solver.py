@@ -87,8 +87,12 @@ class Solver:
         if restore:  # resume from an Orbax checkpoint (global_step kept)
             self.state = ckpt.restore_checkpoint(restore, self.state)
 
+        # donate=True: the train loop is `state = step(state, ...)`, so the
+        # previous state's buffers are dead — in-place update halves the
+        # params+Adam-moments HBM footprint
         self.step_fn = ts.make_jitted_train_step(self.model, self.tx, mesh=mesh,
-                                                 dp_axis=cfg.dp_axis)
+                                                 dp_axis=cfg.dp_axis,
+                                                 donate=True)
         # validation reuses the DP mesh: batches shard over chips, outputs
         # come back replicated for the host-side scorer
         self.predict_fn = api.make_jitted_predict(self.model, mesh=mesh,
@@ -192,4 +196,5 @@ class Solver:
                 self.logger.save_val_history(self.loss_dir, step)
 
         self.data.stop()
+        ckpt.wait_for_checkpoints()  # drain the async save before returning
         return self.state

@@ -188,8 +188,16 @@ def train_step(state: TrainState, batch, key, model: DISYolo,
 
 
 def make_jitted_train_step(model: DISYolo, tx: optax.GradientTransformation,
-                           mesh: Mesh = None, dp_axis: str = "dp"):
+                           mesh: Mesh = None, dp_axis: str = "dp",
+                           donate: bool = False):
     """Compile the train step.
+
+    ``donate=True`` donates the input ``TrainState`` buffers to the
+    update (params / Adam moments / BN stats are written in place instead
+    of double-buffered — ~2x less optimizer-state HBM).  The caller's
+    state arrays are dead after the call, so only enable it for a
+    ``state = step(state, ...)`` loop (the Solver does); parity tests
+    that compare old vs new params must keep the default.
 
     The mesh variant is explicit SPMD: the whole step (forward, backward,
     optimizer) runs per-device under ``shard_map`` with the batch sharded
@@ -226,7 +234,7 @@ def make_jitted_train_step(model: DISYolo, tx: optax.GradientTransformation,
                 return base_step(state, batch, kb)
         else:
             step_fn = base_step
-        return jax.jit(step_fn)
+        return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
     from jax.flatten_util import ravel_pytree
 
@@ -269,4 +277,5 @@ def make_jitted_train_step(model: DISYolo, tx: optax.GradientTransformation,
         keys = jax.random.split(key, batch["images"].shape[0])
         return sharded(state, batch, keys, akey)
 
-    return jax.jit(sharded_step, out_shardings=NamedSharding(mesh, P()))
+    return jax.jit(sharded_step, out_shardings=NamedSharding(mesh, P()),
+                   donate_argnums=(0,) if donate else ())

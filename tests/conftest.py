@@ -31,6 +31,14 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
 
+# Persistent compilation cache: the suite is ~90% XLA compile time (the
+# mesh train-step alone is minutes on a 1-core host); repeat runs reuse
+# every compile ≥2 s.  Keyed by HLO+flags hash, so stale hits are
+# impossible — a code change that alters any HLO recompiles just that HLO.
+from dis_yolo_tpu.utils.runtime import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

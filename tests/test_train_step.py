@@ -85,6 +85,80 @@ def test_loss_decreases_over_steps(setup):
     assert losses[-1] < losses[0]
 
 
+def test_remat_grads_match_plain(small_cfg):
+    """cfg.remat recomputes ConvBN internals in backward — same math, so
+    model gradients must agree with the plain build.
+
+    Sized at 64px, NOT the suite's usual 96: at 96 (odd stride-32 grid)
+    the random-init gradient through ~80 stacked BN layers is chaotically
+    ill-conditioned — a 1e-6 input perturbation swings early-layer grads
+    by >200% relative, and jit-vs-eager differ just as much for the
+    PLAIN model (fp reassociation only; eager plain == eager remat is
+    bit-exact, which is the semantic proof).  At 64 the jit builds agree
+    tightly, making the comparison meaningful."""
+    results = {}
+    for remat in (False, True):
+        c = small_cfg.replace(compute_dtype="float32", image_size=64,
+                              test_size=64, remat=remat)
+        model = api.create_model(c)
+        v = api.init_variables(c, jax.random.PRNGKey(0))
+        x = jnp.asarray(np.random.RandomState(0)
+                        .rand(2, 64, 64, 3).astype(np.float32))
+
+        def loss(p):
+            outs, _ = model.apply(
+                {"params": p, "batch_stats": v["batch_stats"]},
+                x, True, mutable=["batch_stats"])
+            return sum(jnp.sum(o.astype(jnp.float32) ** 2) for o in outs)
+
+        results[remat] = jax.jit(jax.value_and_grad(loss))(v["params"])
+
+    (loss_a, g_a), (loss_b, g_b) = results[False], results[True]
+    np.testing.assert_allclose(float(loss_a), float(loss_b), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g_a), jax.tree.leaves(g_b)):
+        scale = max(float(jnp.abs(a).max()), 1e-6)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-3 * scale)
+
+
+def test_remat_train_step_runs(small_cfg):
+    """Full train step (bf16, NMS proposals, ROI mask loss, Adam) under
+    cfg.remat: compiles, loss finite, unlocked params move."""
+    cfg = small_cfg.replace(remat=True)
+    model = api.create_model(cfg)
+    v = api.init_variables(cfg, jax.random.PRNGKey(0))
+    tx = ts.make_optimizer(v["params"], cfg)
+    state = ts.TrainState(v["params"], v["batch_stats"],
+                          tx.init(v["params"]), jnp.asarray(0))
+    step = ts.make_jitted_train_step(model, tx)
+    new_state, metrics = step(state, make_batch(cfg), jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["total_loss"]))
+    delta = max(float(jnp.abs(a - b).max()) for a, b in zip(
+        jax.tree.leaves(v["params"]["convolutional82"]),
+        jax.tree.leaves(new_state.params["convolutional82"])))
+    assert delta > 0
+
+
+def test_donated_state_loop(setup):
+    """donate=True invalidates the input state and supports the
+    state = step(state, ...) training loop shape."""
+    cfg, model, v = setup
+    tx = ts.make_optimizer(v["params"], cfg)
+    # fresh state arrays (the module-scoped `v` must stay alive for other
+    # tests, so donate copies, not the fixture's buffers)
+    params = jax.tree.map(jnp.array, v["params"])
+    stats = jax.tree.map(jnp.array, v["batch_stats"])
+    state = ts.TrainState(params, stats, tx.init(params), jnp.asarray(0))
+    first_param = jax.tree.leaves(state.params)[0]
+    step = ts.make_jitted_train_step(model, tx, donate=True)
+    batch = make_batch(cfg)
+    for i in range(2):
+        state, metrics = step(state, batch, jax.random.PRNGKey(i))
+    assert first_param.is_deleted()
+    assert np.isfinite(float(metrics["total_loss"]))
+    assert int(state.step) == 2
+
+
 def test_reference_lr_schedule():
     sched = ts.reference_lr_schedule
     assert float(sched(jnp.asarray(1))) == pytest.approx(1e-3)
