@@ -34,12 +34,18 @@ def trace(logdir: str):
 
 
 def chain_scan_time(body: Callable, x0, n: int = 20, repeats: int = 3,
-                    n2: int = 0) -> float:
+                    n2: int = 0, args: tuple = ()) -> float:
     """Median seconds per execution of ``body`` (x -> scalar-reducible out).
 
     ``body`` must accept the carry (same shape/dtype as ``x0``) and return
     an array; a tiny multiple of its sum is folded back into the carry so
     no iteration can be elided.
+
+    ``args``: extra operands forwarded as ``body(c, *args)`` and passed as
+    jit *arguments*, not closure constants.  Closed-over device arrays are
+    embedded into the HLO as literals; at train-bench scale (a ~750 MB
+    TrainState + batch) that inflates the remote-compile payload past the
+    tunnel's request limit (HTTP 413 observed at batch 32).
 
     Two-point slope method: chains of length ``n`` and ``n2`` (default 3n)
     are timed and the per-step time is (T(n2) - T(n)) / (n2 - n).  A
@@ -54,9 +60,9 @@ def chain_scan_time(body: Callable, x0, n: int = 20, repeats: int = 3,
 
     def make_chain(length):
         @jax.jit
-        def chain(x):
+        def chain(x, *a):
             def step(c, _):
-                out = body(c)
+                out = body(c, *a)
                 s = jnp.sum(out)
                 return c + s * 1e-20, s
             _, outs = jax.lax.scan(step, x, None, length=length)
@@ -64,11 +70,11 @@ def chain_scan_time(body: Callable, x0, n: int = 20, repeats: int = 3,
         return chain
 
     def run(chain):
-        float(chain(x0))                   # compile + warm
+        float(chain(x0, *args))            # compile + warm
         times = []
         for _ in range(repeats):
             t0 = time.perf_counter()
-            float(chain(x0))               # host fetch forces execution
+            float(chain(x0, *args))        # host fetch forces execution
             times.append(time.perf_counter() - t0)
         return float(np.median(times))
 

@@ -60,16 +60,19 @@ def bench_one(batch: int, remat: bool, donate: bool) -> float:
     # chain measures compute either way
     step_fn = ts.make_jitted_train_step(model, tx)
 
-    def body(images):
-        bd = dict(batch_data, images=images)
-        new_state, metrics = step_fn(state, bd, jax.random.PRNGKey(1))
+    def body(images, st, bd):
+        bd = dict(bd, images=images)
+        new_state, metrics = step_fn(st, bd, jax.random.PRNGKey(1))
         # consume the params delta + loss so the whole step must execute
         delta = jax.tree.reduce(
             lambda a, x: a + x.astype(jnp.float32).sum(),
             new_state.params, 0.0)
         return metrics["total_loss"] + delta * 1e-12
 
-    dt = chain_scan_time(body, batch_data["images"], n=20)
+    # state + batch go through ``args`` (jit arguments): as closure consts
+    # they embed ~GB of literals into the remote-compile payload (HTTP 413)
+    dt = chain_scan_time(body, batch_data["images"], n=20,
+                         args=(state, batch_data))
     if donate:
         # exercise the Solver's real donated dispatch path at this batch —
         # peak HBM here is 1 state + activations (the production ceiling);
