@@ -170,16 +170,49 @@ def cmd_infer(args):
     from dis_yolo_tpu.utils.visualize import draw_instances
 
     cfg = _make_cfg(args, batch_size=1)
+
+    paths = ([os.path.join(args.images, f) for f in sorted(os.listdir(args.images))
+              if f.lower().endswith((".jpg", ".png", ".jpeg"))]
+             if os.path.isdir(args.images) else [args.images])
+
+    if getattr(args, "artifact", None):
+        # serve from an exported StableHLO artifact: no model code, no
+        # checkpoint — the weights are baked into the module (export.py)
+        from dis_yolo_tpu.export import load_artifact
+        run_art, meta = load_artifact(args.artifact)
+        art_cfg = meta.get("config", {})
+        size = int(art_cfg.get("test_size", cfg.test_size))
+        bsz = int(meta.get("in_shapes", [[1]])[0][0])
+        classes = tuple(art_cfg.get("classes", cfg.classes))
+        os.makedirs(args.out, exist_ok=True)
+        for path in paths:
+            bgr = cv2.imread(path)
+            if bgr is None:
+                raise SystemExit(f"error: cannot read image {path!r}")
+            rgb = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
+            h, w = rgb.shape[:2]
+            canvas, window = letterbox_image(rgb, size)
+            # pad the single image to the artifact's fixed batch
+            imgs = np.zeros((bsz, size, size, 3), np.float32)
+            wins = np.tile(np.asarray(window, np.float32), (bsz, 1))
+            imgs[0] = canvas
+            dets, masks = run_art(jnp.asarray(imgs), jnp.asarray(wins))
+            insts = detections_to_original(np.asarray(dets[0]),
+                                           np.asarray(masks[0]), h, w, size)
+            rendered = draw_instances(rgb, [
+                {"classname": classes[i["classid"]], "mask": i["mask"],
+                 "box": i["box"], "score": i["score"]} for i in insts])
+            out_path = os.path.join(args.out, os.path.basename(path))
+            cv2.imwrite(out_path, cv2.cvtColor(rendered, cv2.COLOR_RGB2BGR))
+            print(f"{path}: {len(insts)} detections -> {out_path}")
+        return
+
     model = api.create_model(cfg)
     variables = api.init_variables(cfg, jax.random.PRNGKey(0))
     if args.checkpoint:
         p, bs = ckpt.restore_weights(args.checkpoint, variables["params"],
                                      variables["batch_stats"])
         variables = {"params": p, "batch_stats": bs}
-
-    paths = ([os.path.join(args.images, f) for f in sorted(os.listdir(args.images))
-              if f.lower().endswith((".jpg", ".png", ".jpeg"))]
-             if os.path.isdir(args.images) else [args.images])
 
     if getattr(args, "quant", False):
         # int8 serving for folder inference (same graph as eval --quant);
@@ -228,6 +261,61 @@ def cmd_infer(args):
         out_path = os.path.join(args.out, os.path.basename(path))
         cv2.imwrite(out_path, cv2.cvtColor(rendered, cv2.COLOR_RGB2BGR))
         print(f"{path}: {len(insts)} detections -> {out_path}")
+
+
+def cmd_export(args):
+    """Serialize the serving graph (weights baked in) to a StableHLO
+    artifact — the reference's frozen-checkpoint deployment
+    (calculate_test_map.py:182-185) as a self-contained AOT module."""
+    import jax
+    import jax.numpy as jnp
+    from dis_yolo_tpu import export as exp
+    from dis_yolo_tpu.data.val_data import DefectValData
+    from dis_yolo_tpu.models import api
+    from dis_yolo_tpu.models.fold import deploy_variables
+    from dis_yolo_tpu.train import checkpoint as ckpt
+
+    cfg = _make_cfg(args, batch_size=args.batch_size)
+    variables = api.init_variables(cfg, jax.random.PRNGKey(0))
+    if args.checkpoint:
+        p, bs = ckpt.restore_weights(args.checkpoint, variables["params"],
+                                     variables["batch_stats"])
+        variables = {"params": p, "batch_stats": bs}
+
+    dv = deploy_variables(variables)
+    if args.quant:
+        from dis_yolo_tpu.models.quant import (calibrate_deploy,
+                                               quantize_deploy)
+        n_calib = args.quant_calib_images
+        try:
+            calib = DefectValData(cfg, "train").get()[0][:n_calib]
+        except Exception:
+            raise SystemExit("error: --quant export calibrates on the "
+                             "train split; none found under --dataset")
+        cmodel = api.create_model(cfg.replace(quant=True,
+                                              quant_calibrate=True))
+        scales = calibrate_deploy(cmodel, dv, jnp.asarray(calib),
+                                  use_pct=args.quant_calib == "pct")
+        serve_vars = quantize_deploy(dv, scales)
+        serve_cfg = cfg.replace(quant=True)
+    else:
+        serve_vars = dv
+        serve_cfg = cfg.replace(deploy=True)
+
+    platforms = tuple(args.platforms.split(",")) if args.platforms else None
+    exported = exp.export_predict(serve_cfg, serve_vars,
+                                  batch_size=args.batch_size,
+                                  obj_thresh=args.threshold,
+                                  platforms=platforms)
+    blob = exp.save_artifact(exported, args.out, serve_cfg,
+                             obj_thresh=args.threshold,
+                             extra_meta={"quant": bool(args.quant),
+                                         "checkpoint": args.checkpoint})
+    print(json.dumps({
+        "artifact": blob, "meta": args.out + ".json",
+        "platforms": list(exported.platforms),
+        "batch_size": args.batch_size, "image_size": cfg.test_size,
+        "bytes": os.path.getsize(blob)}))
 
 
 def cmd_convert_tf1(args):
@@ -308,7 +396,28 @@ def main(argv=None):
                    help="serve the int8 graph (activation scales "
                         "calibrated on the first input images)")
     p.add_argument("--quant-calib", default="pct", choices=["max", "pct"])
+    p.add_argument("--artifact", default=None,
+                   help="serve from an exported StableHLO artifact "
+                        "(see the `export` subcommand); ignores "
+                        "--checkpoint/--quant")
     p.set_defaults(fn=cmd_infer)
+
+    p = sub.add_parser("export", help="serialize the serving graph to a "
+                                      "self-contained StableHLO artifact")
+    _add_common(p)
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--out", required=True,
+                   help="artifact path prefix (writes .stablehlo + .json)")
+    p.add_argument("--threshold", type=float, default=0.25)
+    p.add_argument("--platforms", default=None,
+                   help="comma list, e.g. 'tpu' or 'tpu,cpu' "
+                        "(default: current backend)")
+    p.add_argument("--quant", action="store_true",
+                   help="export the int8 graph (calibrated on the train "
+                        "split)")
+    p.add_argument("--quant-calib", default="pct", choices=["max", "pct"])
+    p.add_argument("--quant-calib-images", type=int, default=8)
+    p.set_defaults(fn=cmd_export, batch_size=1)
 
     p = sub.add_parser("convert-tf1", help="TF1 .ckpt -> .npy weight dict")
     p.add_argument("--ckpt", required=True)

@@ -130,6 +130,17 @@ class DISYoloConfig:
     # activation HBM, raising the max trainable batch at 576^2 at the cost
     # of re-running the (cheap, MXU-bound) forward convs during backprop.
     remat: bool = False
+    # Gradient accumulation: the train step splits its batch into this many
+    # microbatches and lax.scan's over them, averaging gradients/metrics —
+    # only one microbatch's activations are ever live, so the *effective*
+    # batch (cfg.batch_size) can exceed what fits in HBM at once.  Composes
+    # with remat and the DP mesh step (per-device batch is what's split;
+    # the gradient pmean still happens once, after accumulation).  BN
+    # running stats update sequentially per microbatch (momentum applied
+    # grad_accum times per step) — batch *moments* still see only a
+    # microbatch, so pair large accumulation with sync-BN semantics in
+    # mind (PARITY.md deviation list).
+    grad_accum: int = 1
     # Fused Pallas NMS kernel (suppression matrix VMEM-resident).  Exact
     # parity with the jnp path and ~10% faster; off by default because the
     # serial select-rounds dominate either way.

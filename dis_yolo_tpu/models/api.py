@@ -55,14 +55,19 @@ def predict(model: DISYolo, variables: Dict[str, Any], images: jnp.ndarray,
 
 
 def predict_from_outputs(cfg: DISYoloConfig, raws, windows: jnp.ndarray,
-                         obj_thresh: Optional[float] = None
+                         obj_thresh: Optional[float] = None,
+                         pallas: Optional[bool] = None
                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """The post-forward half of ``predict``: raw head outputs -> detections
     + assembled masks.  Split out so the composed inference chain
     ``interpret_output -> filter_detections -> val_test``
     (yolo3_net_pos.py:465-628, :862-938) can be parity-tested end to end
     against a literal numpy oracle from identical raw tensors
-    (tests/test_composed_oracle.py)."""
+    (tests/test_composed_oracle.py).
+
+    ``pallas`` pins the assembly formulation explicitly (the default sniffs
+    the host backend at trace time — wrong when lowering for a *different*
+    platform, e.g. jax.export cross-platform artifacts, export.py)."""
     # the mask-assembly pixel quantization is square-only, exactly like the
     # reference's val_test which uses shape[1] for both axes
     # (yolo3_net_pos.py:873); letterbox non-square inputs first.
@@ -79,7 +84,9 @@ def predict_from_outputs(cfg: DISYoloConfig, raws, windows: jnp.ndarray,
                      & (boxes_px[..., 3] - boxes_px[..., 1] > 0))
     valid = jnp.any(dets[..., :4] != 0.0, axis=-1) & nondegenerate
     dets = dets * valid[..., None]
-    if cfg.use_pallas_assembly and _on_tpu():
+    if pallas is None:
+        pallas = cfg.use_pallas_assembly and _on_tpu()
+    if pallas:
         # the kernel picks a VMEM-resident or spatially-tiled layout itself,
         # so even the stride-1 S=576 decoder stays on the fast path
         from dis_yolo_tpu.ops.pallas_assembly import assemble_masks_batch_pallas

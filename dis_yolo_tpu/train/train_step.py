@@ -177,11 +177,61 @@ def total_loss_fn(params, batch_stats, batch: Dict[str, jnp.ndarray],
     return total_loss_from_keys(params, batch_stats, batch, keys, model)
 
 
+def grads_and_aux(params, batch_stats, batch, keys, model: DISYolo):
+    """(grads, new_batch_stats, metrics) over the batch, microbatched when
+    ``cfg.grad_accum > 1``.
+
+    Accumulation is a ``lax.scan`` over equal microbatch slices: only one
+    microbatch's activations are live at a time, so the effective batch
+    can exceed single-shot HBM.  Gradients/metrics are averaged —
+    mean-of-equal-means equals the full-batch mean, and the L2 term is
+    identical in every microbatch so its average is itself.  BN running
+    stats thread through the carry (one momentum update per microbatch,
+    i.e. the reference's semantics for consecutive small steps; batch
+    *moments* see a microbatch, not the full batch — PARITY.md deviation).
+    """
+    grad_fn = jax.value_and_grad(total_loss_from_keys, has_aux=True)
+    n = model.cfg.grad_accum
+    if n <= 1:
+        (_, (new_stats, metrics)), grads = grad_fn(params, batch_stats,
+                                                   batch, keys, model)
+        return grads, new_stats, metrics
+
+    b = keys.shape[0]
+    if b % n:
+        raise ValueError(f"batch {b} not divisible by grad_accum {n}")
+    micro = b // n
+    mb = jax.tree.map(lambda x: x.reshape((n, micro) + x.shape[1:]), batch)
+    mkeys = keys.reshape((n, micro) + keys.shape[1:])
+
+    def one(stats, bat, k):
+        (_, (new_stats, metrics)), grads = grad_fn(params, stats, bat, k,
+                                                   model)
+        return grads, new_stats, metrics
+
+    g_s, _, m_s = jax.eval_shape(one, batch_stats,
+                                 jax.tree.map(lambda x: x[0], mb), mkeys[0])
+    zeros = lambda t: jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), t)
+
+    def body(carry, xs):
+        stats, gsum, msum = carry
+        bat, k = xs
+        grads, stats, metrics = one(stats, bat, k)
+        return (stats, jax.tree.map(jnp.add, gsum, grads),
+                jax.tree.map(jnp.add, msum, metrics)), None
+
+    (new_stats, gsum, msum), _ = jax.lax.scan(
+        body, (batch_stats, zeros(g_s), zeros(m_s)), (mb, mkeys))
+    inv = 1.0 / n
+    return (jax.tree.map(lambda g: g * inv, gsum), new_stats,
+            jax.tree.map(lambda m: m * inv, msum))
+
+
 def train_step(state: TrainState, batch, key, model: DISYolo,
                tx: optax.GradientTransformation):
-    grad_fn = jax.value_and_grad(total_loss_fn, has_aux=True)
-    (_, (new_stats, metrics)), grads = grad_fn(
-        state.params, state.batch_stats, batch, key, model)
+    keys = jax.random.split(key, batch["images"].shape[0])
+    grads, new_stats, metrics = grads_and_aux(
+        state.params, state.batch_stats, batch, keys, model)
     updates, new_opt = tx.update(grads, state.opt_state, state.params)
     new_params = optax.apply_updates(state.params, updates)
     return TrainState(new_params, new_stats, new_opt, state.step + 1), metrics
@@ -247,8 +297,9 @@ def make_jitted_train_step(model: DISYolo, tx: optax.GradientTransformation,
             batch = augment_batch(akey, batch, cfg.image_size,
                                   flips=cfg.flipped,
                                   photometric=cfg.blur_noise_light)
-        grad_fn = jax.value_and_grad(total_loss_from_keys, has_aux=True)
-        (_, (new_stats, metrics)), grads = grad_fn(
+        # grad_accum splits the *per-device* batch; the pmean below still
+        # happens exactly once, after accumulation
+        grads, new_stats, metrics = grads_and_aux(
             state.params, state.batch_stats, batch, keys, model_sync)
         flat, unravel = ravel_pytree(grads)
         mleaves, mdef = jax.tree.flatten(metrics)

@@ -139,6 +139,84 @@ def test_remat_train_step_runs(small_cfg):
     assert delta > 0
 
 
+def test_grad_accum_matches_sequential_composition(small_cfg):
+    """The accumulation contract: grad_accum=n over batch B must equal the
+    mean of the n per-microbatch gradients computed one after another with
+    BN running stats threaded through (that IS the semantics — PARITY.md
+    deviation 6; it deliberately differs from one large batch because BN
+    *moments* see a microbatch).  Comparing against the sequential
+    composition (same microbatch shapes, same math) keeps the check out of
+    the chaotic big-batch-vs-small-batch BN territory documented at
+    test_remat_grads_match_plain; 64px/f32 for conditioning."""
+    cfg = small_cfg.replace(compute_dtype="float32", image_size=64,
+                            test_size=64, grad_accum=2)
+    model = api.create_model(cfg)
+    v = api.init_variables(cfg, jax.random.PRNGKey(0))
+    batch = make_batch(cfg, b=4)
+    keys = jax.random.split(jax.random.PRNGKey(7), 4)
+
+    accum_fn = jax.jit(ts.grads_and_aux, static_argnums=(4,))
+    g_acc, s_acc, m_acc = accum_fn(v["params"], v["batch_stats"], batch,
+                                   keys, model)
+
+    ref_model = api.create_model(cfg.replace(grad_accum=1))
+    stats = v["batch_stats"]
+    gs, ms = [], []
+    for i in (0, 2):
+        micro = jax.tree.map(lambda x: x[i:i + 2], batch)
+        g, stats, m = accum_fn(v["params"], stats, micro, keys[i:i + 2],
+                               ref_model)
+        gs.append(g)
+        ms.append(m)
+
+    np.testing.assert_allclose(
+        float(m_acc["total_loss"]),
+        (float(ms[0]["total_loss"]) + float(ms[1]["total_loss"])) / 2,
+        rtol=1e-5)
+    want = jax.tree.map(lambda a, b: (a + b) / 2, gs[0], gs[1])
+    for a, b in zip(jax.tree.leaves(g_acc), jax.tree.leaves(want)):
+        scale = max(float(jnp.abs(b).max()), 1e-6)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-3 * scale)
+    # running stats thread sequentially: accum result == composition result
+    for a, b in zip(jax.tree.leaves(s_acc), jax.tree.leaves(stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_grad_accum_train_step_runs(small_cfg):
+    """Full jitted step with grad_accum=2: compiles, finite, locked layers
+    stay frozen, unlocked move; step counter advances once per step."""
+    cfg = small_cfg.replace(grad_accum=2)
+    model = api.create_model(cfg)
+    v = api.init_variables(cfg, jax.random.PRNGKey(0))
+    tx = ts.make_optimizer(v["params"], cfg)
+    state = ts.TrainState(v["params"], v["batch_stats"],
+                          tx.init(v["params"]), jnp.asarray(0))
+    step = ts.make_jitted_train_step(model, tx)
+    new_state, metrics = step(state, make_batch(cfg, b=4),
+                              jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["total_loss"]))
+    assert int(new_state.step) == 1
+    for a, b in zip(jax.tree.leaves(v["params"]["convolutional10"]),
+                    jax.tree.leaves(new_state.params["convolutional10"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    delta = max(float(jnp.abs(a - b).max()) for a, b in zip(
+        jax.tree.leaves(v["params"]["convolutional82"]),
+        jax.tree.leaves(new_state.params["convolutional82"])))
+    assert delta > 0
+
+
+def test_grad_accum_rejects_indivisible_batch(small_cfg):
+    cfg = small_cfg.replace(grad_accum=3)
+    model = api.create_model(cfg)
+    v = api.init_variables(cfg, jax.random.PRNGKey(0))
+    keys = jax.random.split(jax.random.PRNGKey(0), 4)
+    with pytest.raises(ValueError, match="divisible"):
+        ts.grads_and_aux(v["params"], v["batch_stats"],
+                         make_batch(cfg, b=4), keys, model)
+
+
 def test_donated_state_loop(setup):
     """donate=True invalidates the input state and supports the
     state = step(state, ...) training loop shape."""
