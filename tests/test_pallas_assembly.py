@@ -131,6 +131,51 @@ def test_tiled_bwd_grad_parity_576(rng=np.random.RandomState(13)):
     np.testing.assert_array_equal(g_got, g_want)
 
 
+@pytest.mark.parametrize("k", [5, 7])
+@pytest.mark.parametrize("force_tiled", [False, True])
+def test_k_variant_parity(k, force_tiled, rng=np.random.RandomState(17)):
+    """The reference's commented k=5/7 assembly variants
+    (yolo3_net_pos.py:814-823,:898-907) through the Pallas fast path,
+    both kernel layouts: bit-parity vs the jnp gather."""
+    S, D = 64, 6
+    sm = jnp.asarray(rng.randn(S, S, k * k).astype(np.float32))
+    b = rng.uniform(0, 1, (D, 4)).astype(np.float32)
+    boxes = np.stack([np.minimum(b[:, 0], b[:, 2]), np.minimum(b[:, 1], b[:, 3]),
+                      np.maximum(b[:, 0], b[:, 2]), np.maximum(b[:, 1], b[:, 3])],
+                     axis=1)
+    boxes[-1] = 0.0
+    boxes = jnp.asarray(boxes)
+    want = np.asarray(ma.assemble_masks(sm, boxes, k))
+    got = np.asarray(assemble_masks_pallas(sm, boxes, k, apply_sigmoid=False,
+                                           interpret=True,
+                                           force_tiled=force_tiled))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_k5_trainable_grad_parity(rng=np.random.RandomState(19)):
+    """Custom-VJP backward kernel at k=5: gradient bit-matches jnp autodiff."""
+    import jax
+    from dis_yolo_tpu.ops.pallas_assembly import assemble_masks_trainable
+    S, k, R = 64, 5, 4
+    sm = jnp.asarray(rng.randn(S, S, k * k).astype(np.float32))
+    b = rng.uniform(0, 1, (R, 4)).astype(np.float32)
+    boxes = np.stack([np.minimum(b[:, 0], b[:, 2]), np.minimum(b[:, 1], b[:, 3]),
+                      np.maximum(b[:, 0], b[:, 2]), np.maximum(b[:, 1], b[:, 3])],
+                     axis=1)
+    bpx = jnp.round(jnp.asarray(boxes) * S)
+    got_f = np.asarray(assemble_masks_trainable(sm, bpx, k, True))
+    want_f = np.asarray(jax.vmap(
+        lambda bb: ma.assemble_mask_single(sm, bb, k))(bpx))
+    np.testing.assert_array_equal(got_f, want_f)
+    w = jnp.asarray(rng.randn(R, S, S).astype(np.float32))
+    g_want = np.asarray(jax.grad(
+        lambda x: jnp.sum(jax.vmap(
+            lambda bb: ma.assemble_mask_single(x, bb, k))(bpx) * w))(sm))
+    g_got = np.asarray(jax.grad(
+        lambda x: jnp.sum(assemble_masks_trainable(x, bpx, k, True) * w))(sm))
+    np.testing.assert_array_equal(g_got, g_want)
+
+
 def test_trainable_fwd_and_grad_parity(case):
     """Custom-VJP kernel: forward and d/d(scoremap) bit-match the jnp path."""
     import jax
