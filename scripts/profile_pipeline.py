@@ -2,7 +2,8 @@
 
 Chain-scan times progressively longer prefixes of the pipeline at 576^2:
   A forward only
-  B + decode + NMS          (nms_engine fixpoint AND scan)
+  B + decode + NMS          (nms_engine fixpoint AND scan AND the
+                             Pallas suppression-matrix kernel on TPU)
   C + mask assembly         (pallas AND jnp one-hot)
   D + paste to original     (current MXU engine)
 Differences between consecutive prefixes attribute cost per stage honestly
@@ -51,7 +52,9 @@ def main():
         return sum(r.sum() for r in raws)
 
     def make_b(engine):
-        c = cfg.replace(nms_engine=engine)
+        # "pallas" = the fused suppression-matrix kernel (cfg.use_pallas_nms)
+        c = (cfg.replace(use_pallas_nms=True) if engine == "pallas"
+             else cfg.replace(nms_engine=engine))
 
         def stage_b(x):
             raws = api.forward(model, variables, x, train=False)
@@ -87,7 +90,9 @@ def main():
     n = 60 if batch == 1 else 30
     t_a = chain_scan_time(stage_a, img, n=n)
     print(f"A forward                 : {t_a*1e3/batch:7.3f} ms/img", flush=True)
-    for engine in ("fixpoint", "scan"):
+    engines = ("fixpoint", "scan") if jax.default_backend() in ("cpu", "gpu") \
+        else ("fixpoint", "scan", "pallas")
+    for engine in engines:
         t_b = chain_scan_time(make_b(engine), img, n=n)
         print(f"B +decode+NMS[{engine:8s}] : {t_b*1e3/batch:7.3f} ms/img "
               f"(stage {((t_b-t_a))*1e3/batch:+.3f})", flush=True)
