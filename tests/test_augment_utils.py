@@ -5,6 +5,8 @@ import pytest
 
 from dis_yolo_tpu.data import augment
 
+pytestmark = pytest.mark.quick
+
 
 def test_identity_placement_tall_and_wide():
     # tall image: height fills, width centered

@@ -6,6 +6,9 @@ import jax.numpy as jnp
 from dis_yolo_tpu.config import DISYoloConfig
 from dis_yolo_tpu.ops import boxes as box_ops
 from dis_yolo_tpu.ops.decode import decode_all
+import pytest
+
+pytestmark = pytest.mark.quick
 
 
 def np_iou_matrix(b1, b2):

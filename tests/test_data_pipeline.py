@@ -11,6 +11,8 @@ from dis_yolo_tpu.data import rasterize
 from dis_yolo_tpu.data.dataset import DefectTrainData, assign_anchors, load_labels
 from dis_yolo_tpu.data.val_data import DefectValData, letterbox_image
 
+pytestmark = pytest.mark.quick
+
 cv2 = pytest.importorskip("cv2")
 
 

@@ -9,6 +9,8 @@ from dis_yolo_tpu.eval.map_eval import Evaluator
 from dis_yolo_tpu.eval.postprocess import correct_yolo_box, paste_mask
 from dis_yolo_tpu.eval.voc_eval import compute_overlaps_masks, voc_ap, voc_eval
 
+pytestmark = pytest.mark.quick
+
 
 def test_voc_ap_known_values():
     rec = np.array([0.5, 1.0])

@@ -16,8 +16,8 @@ import pytest
 
 SAMPLE = "/root/reference/data/train_sample"
 
-pytestmark = pytest.mark.skipif(not os.path.isdir(SAMPLE),
-                                reason="reference sample data not mounted")
+pytestmark = [pytest.mark.quick, pytest.mark.skipif(not os.path.isdir(SAMPLE),
+                                reason="reference sample data not mounted")]
 cv2 = pytest.importorskip("cv2")
 
 

@@ -11,6 +11,8 @@ from dis_yolo_tpu.losses import mask_loss as ml
 from dis_yolo_tpu.losses import yolo_loss as yl
 from dis_yolo_tpu.ops.decode import decode_all
 
+pytestmark = pytest.mark.quick
+
 
 def test_bce_matches_tf_formula(rng):
     x = rng.randn(100).astype(np.float32) * 5

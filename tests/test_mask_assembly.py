@@ -5,6 +5,9 @@ import numpy as np
 import jax.numpy as jnp
 
 from dis_yolo_tpu.ops import mask_assembly as ma
+import pytest
+
+pytestmark = pytest.mark.quick
 
 
 def reference_assemble(scoremap: np.ndarray, box_px: np.ndarray, k: int) -> np.ndarray:
@@ -100,3 +103,22 @@ def test_k5_variant(rng):
     got = np.asarray(ma.assemble_mask_single(jnp.asarray(scoremap), jnp.asarray(b), k))
     want = reference_assemble(scoremap, b, k)
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_k7_variant(rng):
+    """k=7 (commented variant, :818-823) vs the literal reference
+    construction — anchors the k=7 chain that test_pallas_assembly's
+    k-variant tests compare only against this jnp path."""
+    size, k = 84, 7
+    scoremap = rng.randn(size, size, k * k).astype(np.float32)
+    boxes = np.array([
+        [2, 3, 79, 71],
+        [0, 0, 84, 84],
+        [10, 11, 19, 17],   # box smaller than k pixels per cell
+        [5, 5, 6, 6],       # single-pixel
+    ], np.float32)
+    for b in boxes:
+        got = np.asarray(ma.assemble_mask_single(jnp.asarray(scoremap),
+                                                 jnp.asarray(b), k))
+        want = reference_assemble(scoremap, b, k)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)

@@ -6,8 +6,8 @@ import pytest
 from dis_yolo_tpu import native
 from dis_yolo_tpu.data import augment, rasterize
 
-pytestmark = pytest.mark.skipif(not native.available(),
-                                reason="native toolchain unavailable")
+pytestmark = [pytest.mark.quick, pytest.mark.skipif(not native.available(),
+                                reason="native toolchain unavailable")]
 
 
 def test_fill_polygon_matches_scanline(rng):

@@ -7,6 +7,9 @@ import jax.numpy as jnp
 from dis_yolo_tpu.config import DISYoloConfig
 from dis_yolo_tpu.ops import nms
 from tests.test_boxes_decode import np_iou_matrix
+import pytest
+
+pytestmark = pytest.mark.quick
 
 
 def np_per_class_nms(boxes, scores, classids, thresh, iou_thresh, max_det):

@@ -152,11 +152,13 @@ def test_k_variant_parity(k, force_tiled, rng=np.random.RandomState(17)):
     np.testing.assert_array_equal(got, want)
 
 
-def test_k5_trainable_grad_parity(rng=np.random.RandomState(19)):
-    """Custom-VJP backward kernel at k=5: gradient bit-matches jnp autodiff."""
+@pytest.mark.parametrize("k", [5, 7])
+def test_k_variant_trainable_grad_parity(k, rng=np.random.RandomState(19)):
+    """Custom-VJP backward kernel at k=5/7: gradient bit-matches jnp
+    autodiff (matches test_k_variant_parity's forward coverage)."""
     import jax
     from dis_yolo_tpu.ops.pallas_assembly import assemble_masks_trainable
-    S, k, R = 64, 5, 4
+    S, R = 64, 4
     sm = jnp.asarray(rng.randn(S, S, k * k).astype(np.float32))
     b = rng.uniform(0, 1, (R, 4)).astype(np.float32)
     boxes = np.stack([np.minimum(b[:, 0], b[:, 2]), np.minimum(b[:, 1], b[:, 3]),

@@ -15,6 +15,8 @@ from dis_yolo_tpu.data.augment import resize_bilinear
 from dis_yolo_tpu.eval.postprocess import correct_yolo_box, detections_to_original
 from dis_yolo_tpu.ops import paste
 
+pytestmark = pytest.mark.quick
+
 
 def _dyadic_boxes(rng, n, q=256):
     """Random valid yxyx boxes quantized to 1/q with q a power of two, so

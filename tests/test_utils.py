@@ -10,6 +10,9 @@ from dis_yolo_tpu.utils.metrics_log import MetricLogger
 from dis_yolo_tpu.utils.runtime import device_prefetch
 from dis_yolo_tpu.utils.timer import Timer
 from dis_yolo_tpu.utils.visualize import blend_mask, draw_instances
+import pytest
+
+pytestmark = pytest.mark.quick
 
 
 def test_timer_average_and_remain():
