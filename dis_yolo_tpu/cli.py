@@ -275,7 +275,8 @@ def cmd_export(args):
     from dis_yolo_tpu.models.fold import deploy_variables
     from dis_yolo_tpu.train import checkpoint as ckpt
 
-    cfg = _make_cfg(args, batch_size=args.batch_size)
+    bs = getattr(args, "symbolic_batch", None) or args.batch_size
+    cfg = _make_cfg(args, batch_size=bs if isinstance(bs, int) else 1)
     variables = api.init_variables(cfg, jax.random.PRNGKey(0))
     if args.checkpoint:
         p, bs = ckpt.restore_weights(args.checkpoint, variables["params"],
@@ -304,7 +305,7 @@ def cmd_export(args):
 
     platforms = tuple(args.platforms.split(",")) if args.platforms else None
     exported = exp.export_predict(serve_cfg, serve_vars,
-                                  batch_size=args.batch_size,
+                                  batch_size=bs,
                                   obj_thresh=args.threshold,
                                   platforms=platforms)
     blob = exp.save_artifact(exported, args.out, serve_cfg,
@@ -314,7 +315,7 @@ def cmd_export(args):
     print(json.dumps({
         "artifact": blob, "meta": args.out + ".json",
         "platforms": list(exported.platforms),
-        "batch_size": args.batch_size, "image_size": cfg.test_size,
+        "batch_size": bs, "image_size": cfg.test_size,
         "bytes": os.path.getsize(blob)}))
 
 
@@ -417,7 +418,12 @@ def main(argv=None):
                         "split)")
     p.add_argument("--quant-calib", default="pct", choices=["max", "pct"])
     p.add_argument("--quant-calib-images", type=int, default=8)
-    p.set_defaults(fn=cmd_export, batch_size=1)
+    p.add_argument("--symbolic-batch", nargs="?", const="b", default=None,
+                   metavar="DIM",
+                   help="export a shape-polymorphic artifact whose batch "
+                        "dim is symbolic (serves any batch size); optional "
+                        "dim name, default 'b'")
+    p.set_defaults(fn=cmd_export)
 
     p = sub.add_parser("convert-tf1", help="TF1 .ckpt -> .npy weight dict")
     p.add_argument("--ckpt", required=True)

@@ -124,6 +124,17 @@ class DISYoloConfig:
     # step (data/device_augment.py); pair with
     # DefectTrainData(host_augs=False).
     device_side_augs: bool = False
+    # Host-loader example-assembly processes (data/dataset.ParallelTrainData).
+    # 0 = the single prefetch thread (the reference's synchronous loader
+    # semantics, one RNG stream); N>0 = a fork pool of N workers with the
+    # worker-count-invariant per-example RNG scheme; -1 = every host core.
+    # The pool closes the wall-vs-device-step gap once the device step is
+    # faster than ~60 ms/batch of GIL-bound cv2/numpy assembly.
+    loader_workers: int = 0
+    # Keep only the newest N checkpoints (0 = keep all, the reference's
+    # max_to_keep=None).  A 576^2 TrainState is ~1 GB on disk (params +
+    # Adam moments); the 40k-iter reference schedule saves 80 of them.
+    max_keep_ckpt: int = 0
     # Per-layer rematerialization: each ConvBN's internals (conv output,
     # f32 normalized values, activation) are recomputed in the backward
     # pass instead of stored, keeping only layer inputs live — ~3x less

@@ -42,7 +42,7 @@ _FORMAT_VERSION = 1
 
 
 def export_predict(cfg: DISYoloConfig, variables: Dict[str, Any],
-                   batch_size: int = 1,
+                   batch_size: "int | str" = 1,
                    obj_thresh: Optional[float] = None,
                    platforms: Optional[Sequence[str]] = None,
                    pallas: Optional[bool] = None) -> "jax.export.Exported":
@@ -53,10 +53,26 @@ def export_predict(cfg: DISYoloConfig, variables: Dict[str, Any],
     defaults to the current backend; pass e.g. ``("tpu", "cpu")`` for a
     multi-platform module (the Pallas path is then disabled — its custom
     call only exists on TPU).
+
+    ``batch_size`` may be a symbolic-dimension string (e.g. ``"b"``): the
+    artifact then serves ANY batch size — the analog of the reference
+    graph's ``[None, ...]`` image placeholder (yolo3_net_pos.py:44).  The
+    spatial size stays static (grids, anchor offsets and score-map shapes
+    derive from it; the runtime re-jits per resolution instead, matching
+    ``TEST_SIZE``, yolo/config.py:66).  The Pallas assembly kernel cannot
+    lower under symbolic shapes, so symbolic exports pin ``pallas=False``
+    (the jnp formulation is bit-identical — tests/test_pallas_assembly.py).
     """
     from dis_yolo_tpu.models import api
 
     platforms = tuple(platforms or (jax.default_backend(),))
+    symbolic = isinstance(batch_size, str)
+    if symbolic:
+        if pallas:
+            raise ValueError("pallas=True is incompatible with a symbolic "
+                             "batch dim (the kernel's grid is shape-"
+                             "specialized); use the jnp assembly")
+        pallas = False
     if pallas is None:
         pallas = platforms == ("tpu",) and cfg.use_pallas_assembly
     if pallas and platforms != ("tpu",):
@@ -74,6 +90,8 @@ def export_predict(cfg: DISYoloConfig, variables: Dict[str, Any],
                                         pallas=pallas)
 
     size = cfg.test_size
+    if symbolic:
+        batch_size, = jax.export.symbolic_shape(batch_size)
     in_specs = (jax.ShapeDtypeStruct((batch_size, size, size, 3),
                                      jnp.float32),
                 jax.ShapeDtypeStruct((batch_size, 4), jnp.float32))
@@ -98,8 +116,11 @@ def save_artifact(exported: "jax.export.Exported", path: str,
         "format_version": _FORMAT_VERSION,
         "jax_version": jax.__version__,
         "platforms": list(exported.platforms),
-        "in_shapes": [list(a.shape) for a in exported.in_avals],
-        "out_shapes": [list(a.shape) for a in exported.out_avals],
+        # symbolic dims (shape-polymorphic batch) serialize as strings
+        "in_shapes": [[d if isinstance(d, int) else str(d) for d in a.shape]
+                      for a in exported.in_avals],
+        "out_shapes": [[d if isinstance(d, int) else str(d) for d in a.shape]
+                       for a in exported.out_avals],
         "obj_thresh": obj_thresh,
         "config": {k: (list(v) if isinstance(v, tuple) else v)
                    for k, v in dataclasses.asdict(cfg).items()},

@@ -27,9 +27,16 @@ class DISYolo(nn.Module):
 
     raw_sN: [B, H/N, W/N, 3, 5+C] raw head outputs (stride N)
     scoremaps: [B, H/2, W/2, k*k] position-sensitive score maps
+
+    ``stop_stage`` is a PROFILING probe (scripts/forward_budget.py): the
+    forward returns early at a named cut point ("stem", "c128", "c256",
+    "c512", "backbone", "heads") so cumulative chain-scan timings of the
+    truncated programs itemize where the forward milliseconds go.  None
+    (the default) is the full network; training never sets it.
     """
 
     cfg: DISYoloConfig
+    stop_stage: "str | None" = None
 
     def _cbn(self, idx: int, features: int, kernel: int, stride: int = 1):
         cfg = self.cfg
@@ -99,27 +106,37 @@ class DISYolo(nn.Module):
             x = self._cbn(1, 32, 3)(x, train)
             skip1 = x                                 # 1/1, 32ch (s1 decoder)
             x = self._cbn(2, 64, 3, 2)(x, train)
+        if self.stop_stage == "stem":
+            return (x,)
         x = x + self._cbn(4, 64, 3)(self._cbn(3, 32, 1)(x, train), train)
         skip2 = x                                     # 1/2, 64ch
         x = self._cbn(5, 128, 3, 2)(x, train)
         x = x + self._cbn(7, 128, 3)(self._cbn(6, 64, 1)(x, train), train)
         x = x + self._cbn(9, 128, 3)(self._cbn(8, 64, 1)(x, train), train)
         skip3 = x                                     # 1/4, 128ch
+        if self.stop_stage == "c128":
+            return (x,)
         x = self._cbn(10, 256, 3, 2)(x, train)
         for i in range(8):
             x = x + self._cbn(2 * i + 12, 256, 3)(
                 self._cbn(2 * i + 11, 128, 1)(x, train), train)
         skip4 = x                                     # 1/8, 256ch
+        if self.stop_stage == "c256":
+            return (x,)
         x = self._cbn(27, 512, 3, 2)(x, train)
         for i in range(8):
             x = x + self._cbn(2 * i + 29, 512, 3)(
                 self._cbn(2 * i + 28, 256, 1)(x, train), train)
         skip5 = x                                     # 1/16, 512ch
+        if self.stop_stage == "c512":
+            return (x,)
         x = self._cbn(44, 1024, 3, 2)(x, train)
         for i in range(4):
             x = x + self._cbn(2 * i + 46, 1024, 3)(
                 self._cbn(2 * i + 45, 512, 1)(x, train), train)
 
+        if self.stop_stage == "backbone":
+            return (x,)
         # ---- head 1: stride 32, large objects (:257-281) ----
         x = self._cbn(53, 512, 1)(x, train)
         x = self._cbn(54, 1024, 3)(x, train)
@@ -157,6 +174,8 @@ class DISYolo(nn.Module):
         b, h, w, _ = y3.shape
         raw_s8 = y3.reshape(b, h, w, a, 5 + c)
 
+        if self.stop_stage == "heads":
+            return (x,)
         # ---- mask decoder: stride 8 -> cfg.mask_stride score maps ----
         # stride 4: reference's commented m=1/4 variant (:362-378)
         # stride 2: the published decoder (:380-412)

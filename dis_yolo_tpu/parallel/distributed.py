@@ -72,6 +72,28 @@ def assembly_plan(mesh_devices, process_index: int, process_count: int,
     return global_shape, local_devices, slices
 
 
+def replicate_to_global(mesh: Mesh, tree):
+    """Per-host identical values -> fully-replicated global jax.Arrays.
+
+    Every process must pass the SAME values (e.g. a TrainState initialized
+    from the same PRNG seed).  Each process places the full array on its
+    addressable mesh devices; the assembled global array is replicated, so
+    it can feed a jitted step whose state is P() and be read back
+    (``float(metrics[...])``) from any host.
+    """
+    sharding = NamedSharding(mesh, P())
+    local = [d for d in mesh.devices.flat
+             if d.process_index == jax.process_index()]
+
+    def make(x):
+        x = np.asarray(x)
+        bufs = [jax.device_put(x, d) for d in local]
+        return jax.make_array_from_single_device_arrays(x.shape, sharding,
+                                                        bufs)
+
+    return jax.tree.map(make, tree)
+
+
 def host_local_to_global(mesh: Mesh, host_batch: Dict[str, np.ndarray],
                          axis_name: str = "dp"):
     """Assemble per-host numpy shards into global batch-sharded jax.Arrays.

@@ -53,25 +53,60 @@ def wait_for_checkpoints() -> None:
         _CKPTR.wait_until_finished()
 
 
+def is_primary() -> bool:
+    """True on the process that owns host-side artifacts (logs, cleanup)."""
+    return jax.process_index() == 0
+
+
+def _sync(tag: str) -> None:
+    """Cross-process barrier (no-op single-process)."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices(tag)
+
+
 def save_checkpoint(ckpt_dir: str, state, step: int, wait: bool = False) -> str:
     """Save the full TrainState (resume) plus a weights-only artifact
     (params + batch_stats) usable across stage configs whose optimizer
     trees differ (stage-1 vs stage-2 trainable masks).
+
+    Multi-host safe: EVERY process must call this (Orbax coordinates the
+    write — each process serializes its addressable shards, the primary
+    writes metadata and commits the directory atomically); the manual
+    interrupted-save cleanup runs on the primary only, behind a barrier so
+    no process starts writing into a directory being removed.
 
     Returns once the data is safely copied off-device; the disk write
     completes in the background unless ``wait=True``."""
     path = os.path.join(os.path.abspath(ckpt_dir), f"step_{step:08d}")
     ckptr = _checkpointer()
     ckptr.wait_until_finished()  # previous async save, if still in flight
-    if os.path.isdir(path):  # re-run over an interrupted save
+    if is_primary() and os.path.isdir(path):  # re-run over an interrupted save
         import shutil
         shutil.rmtree(path)
+    _sync(f"ckpt_cleanup_{step}")
     ckptr.save(os.path.join(path, "state"), state)
     ckptr.save(os.path.join(path, "weights"),
                {"params": state.params, "batch_stats": state.batch_stats})
     if wait:
         ckptr.wait_until_finished()
     return path
+
+
+def prune_checkpoints(ckpt_dir: str, keep: int) -> None:
+    """Delete all but the newest ``keep`` step_* checkpoints (primary-only).
+
+    The reference keeps every checkpoint (max_to_keep=None,
+    train_yolo3_mask.py:58) — that is the default (``cfg.max_keep_ckpt=0``
+    = never prune); long 576^2 runs saving ~1 GB of Adam state every 500
+    steps opt into pruning.
+    """
+    if keep <= 0 or not is_primary() or not os.path.isdir(ckpt_dir):
+        return
+    import shutil
+    steps = sorted(d for d in os.listdir(ckpt_dir) if d.startswith("step_"))
+    for d in steps[:-keep]:
+        shutil.rmtree(os.path.join(ckpt_dir, d), ignore_errors=True)
 
 
 def latest_checkpoint(ckpt_dir: str) -> Optional[str]:

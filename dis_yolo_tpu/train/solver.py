@@ -46,16 +46,26 @@ class Solver:
         self.mesh = mesh
         # with device-side augs the host loader must not also flip /
         # photometric (they'd apply twice)
-        self.data = data or DefectTrainData(cfg, "train", seed=seed,
-                                            host_augs=not cfg.device_side_augs)
+        if data is not None:
+            self.data = data
+        elif cfg.loader_workers:
+            from dis_yolo_tpu.data.dataset import ParallelTrainData
+            workers = (None if cfg.loader_workers < 0 else cfg.loader_workers)
+            self.data = ParallelTrainData(cfg, "train", seed=seed,
+                                          host_augs=not cfg.device_side_augs,
+                                          workers=workers)
+        else:
+            self.data = DefectTrainData(cfg, "train", seed=seed,
+                                        host_augs=not cfg.device_side_augs)
         self.evaluator = evaluator
         self.val_data = val_data
         self.ckpt_dir = os.path.join(cfg.output_dir, "checkpoint")
         self.loss_dir = os.path.join(cfg.output_dir, "lossnp")
         os.makedirs(self.ckpt_dir, exist_ok=True)
         os.makedirs(self.loss_dir, exist_ok=True)
-        with open(os.path.join(self.ckpt_dir, "config.txt"), "w") as f:
-            f.write(cfg.snapshot())
+        if ckpt.is_primary():   # one writer per shared artifact dir
+            with open(os.path.join(self.ckpt_dir, "config.txt"), "w") as f:
+                f.write(cfg.snapshot())
         self.logger = MetricLogger(self.ckpt_dir)
 
         self.model = api.create_model(cfg)
@@ -173,13 +183,13 @@ class Solver:
             epoch_loss = epoch_loss + metrics["total_loss"]
             epoch_count += 1
 
-            if step % cfg.summary_iter == 0:
+            if step % cfg.summary_iter == 0 and ckpt.is_primary():
                 self.logger.log(step, {k: float(v) for k, v in metrics.items()})
 
             if step % cfg.save_iter == 0:
                 record_loss = float(epoch_loss) / max(epoch_count, 1)
                 result = self.validate()
-                if result is not None:
+                if result is not None and ckpt.is_primary():
                     self.logger.log_validation(step, self.data.epoch,
                                                record_loss, result)
                     # epoch log line incl. ETA (train_yolo3_mask.py:185-202)
@@ -193,7 +203,9 @@ class Solver:
                           f"remain {train_timer.remain(done, max_iter - start + 1)}")
                 epoch_loss, epoch_count = 0.0, 0
                 ckpt.save_checkpoint(self.ckpt_dir, self.state, step)
-                self.logger.save_val_history(self.loss_dir, step)
+                ckpt.prune_checkpoints(self.ckpt_dir, cfg.max_keep_ckpt)
+                if ckpt.is_primary():
+                    self.logger.save_val_history(self.loss_dir, step)
 
         self.data.stop()
         ckpt.wait_for_checkpoints()  # drain the async save before returning

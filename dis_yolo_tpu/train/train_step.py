@@ -106,6 +106,29 @@ def make_optimizer(params, cfg: DISYoloConfig,
                                  labels)
 
 
+def prepare_batch(batch: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+    """Expand the loader's compact wire format on device (no-op otherwise).
+
+    uint8 images -> f32/255 (XLA fuses the convert+scale into the first
+    conv's operand pipeline) and bit-packed masks -> [B,T,S,S] bool via a
+    shift-and-mask (np.packbits big-endian bit order).  Shipping uint8 +
+    packed bits costs ~2.5x fewer host->device wire bytes per step — the
+    dominant wall-clock term on a network-attached TPU.
+    """
+    batch = dict(batch)
+    img = batch["images"]
+    if img.dtype == jnp.uint8:
+        batch["images"] = img.astype(jnp.float32) / 255.0
+    if "masks_packed" in batch:
+        packed = batch.pop("masks_packed")          # [B,T,S*S/8] uint8
+        s = batch["images"].shape[1]
+        shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
+        bits = (packed[..., None] >> shifts) & jnp.uint8(1)
+        batch["true_masks"] = bits.reshape(
+            packed.shape[0], packed.shape[1], s, s).astype(bool)
+    return batch
+
+
 def _per_image_roi_losses(keys, preds, windows, scoremaps, true_boxes,
                           masks_small, cfg: DISYoloConfig) -> jnp.ndarray:
     """[B] per-image NMS-proposal + ROI mask losses (no cross-image math).
@@ -229,6 +252,7 @@ def grads_and_aux(params, batch_stats, batch, keys, model: DISYolo):
 
 def train_step(state: TrainState, batch, key, model: DISYolo,
                tx: optax.GradientTransformation):
+    batch = prepare_batch(batch)
     keys = jax.random.split(key, batch["images"].shape[0])
     grads, new_stats, metrics = grads_and_aux(
         state.params, state.batch_stats, batch, keys, model)
@@ -278,6 +302,7 @@ def make_jitted_train_step(model: DISYolo, tx: optax.GradientTransformation,
         if cfg.device_side_augs:
             def step_fn(state, batch, key):
                 ka, kb = jax.random.split(key)
+                batch = prepare_batch(batch)
                 batch = augment_batch(ka, batch, cfg.image_size,
                                       flips=cfg.flipped,
                                       photometric=cfg.blur_noise_light)
@@ -292,6 +317,7 @@ def make_jitted_train_step(model: DISYolo, tx: optax.GradientTransformation,
     model_sync = model.clone(cfg=cfg.replace(bn_axis=dp_axis))
 
     def local_step(state, batch, keys, akey):
+        batch = prepare_batch(batch)
         if cfg.device_side_augs:
             akey = jax.random.fold_in(akey, jax.lax.axis_index(dp_axis))
             batch = augment_batch(akey, batch, cfg.image_size,

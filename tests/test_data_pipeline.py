@@ -127,8 +127,13 @@ def test_train_loader_batch(synth_root):
     cfg = DISYoloConfig(dataset=synth_root, image_size=96, batch_size=2,
                         pre_nms_top_k=64)
     data = DefectTrainData(cfg, "train", seed=0)
-    batch = data.get()
+    compact = data.get()
     s, t, g = cfg.image_size, cfg.max_box_per_image, cfg.base_grid
+    # compact wire format: uint8 images + bit-packed masks
+    assert compact["images"].dtype == np.uint8
+    assert compact["masks_packed"].shape == (2, t, s * s // 8)
+    from dis_yolo_tpu.data.dataset import expand_batch
+    batch = expand_batch(compact)
     assert batch["images"].shape == (2, s, s, 3)
     assert batch["images"].dtype == np.float32
     assert 0.0 <= batch["images"].min() and batch["images"].max() <= 1.0
@@ -192,3 +197,62 @@ def test_letterbox_window_math(rng):
     np.testing.assert_allclose(window, [0, 24 / 96, 1.0, 72 / 96])
     assert (canvas[:, :24] == 127 / 255.).all()
     assert (canvas[:, 72:] == 127 / 255.).all()
+
+
+def test_parallel_loader_worker_count_invariance(synth_root):
+    """ParallelTrainData batches are bit-identical for any pool width:
+    inline (workers=0), 1-worker pool, and 3-worker pool must agree.
+    This is the determinism contract that lets a run be reproduced on a
+    host with a different core count."""
+    from dis_yolo_tpu.data.dataset import ParallelTrainData
+    cfg = DISYoloConfig(dataset=synth_root, image_size=96, batch_size=2)
+
+    def take(workers, n=4):
+        data = ParallelTrainData(cfg, "train", seed=3, workers=workers)
+        if workers == 0:
+            out = [data.get() for _ in range(n)]
+        else:
+            data.start_prefetch()
+            out = [data.next_prefetched() for _ in range(n)]
+        data.stop()
+        return out
+
+    ref = take(0)
+    for w in (1, 3):
+        got = take(w)
+        for b_ref, b_got in zip(ref, got):
+            for key in b_ref:
+                np.testing.assert_array_equal(b_got[key], b_ref[key],
+                                              err_msg=f"workers={w} {key}")
+
+
+def test_parallel_loader_restart(synth_root):
+    """Pool loader survives stop() -> start_prefetch() like the thread one,
+    and keeps advancing the deterministic example counter."""
+    from dis_yolo_tpu.data.dataset import ParallelTrainData
+    cfg = DISYoloConfig(dataset=synth_root, image_size=96, batch_size=2)
+    data = ParallelTrainData(cfg, "train", seed=3, workers=2)
+    data.start_prefetch()
+    b1 = data.next_prefetched()
+    data.stop()
+    data.start_prefetch()
+    b2 = data.next_prefetched()
+    data.stop()
+    assert b1["images"].shape == b2["images"].shape
+
+
+def test_prepare_batch_matches_expand_batch(synth_root):
+    """Device-side compact-batch expansion (train_step.prepare_batch) is
+    bit-exact with the host reference (expand_batch): uint8/255 images and
+    big-endian bit-unpacked masks."""
+    import jax.numpy as jnp
+    from dis_yolo_tpu.data.dataset import expand_batch
+    from dis_yolo_tpu.train.train_step import prepare_batch
+    cfg = DISYoloConfig(dataset=synth_root, image_size=96, batch_size=2)
+    compact = DefectTrainData(cfg, "train", seed=0).get()
+    host = expand_batch(compact)
+    dev = prepare_batch({k: jnp.asarray(v) for k, v in compact.items()})
+    np.testing.assert_array_equal(np.asarray(dev["images"]), host["images"])
+    np.testing.assert_array_equal(np.asarray(dev["true_masks"]),
+                                  host["true_masks"])
+    assert "masks_packed" not in dev

