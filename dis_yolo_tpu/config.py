@@ -152,6 +152,21 @@ class DISYoloConfig:
     # microbatch, so pair large accumulation with sync-BN semantics in
     # mind (PARITY.md deviation list).
     grad_accum: int = 1
+    # Training robustness (PARITY.md deviation list).  The reference (TF1,
+    # f32, batch 2, LR 1e-3) inherits stability from its mature COCO
+    # pretrained backbone; self-pretrained stand-ins are less conditioned
+    # and a single bad batch can spike the loss into NaN (observed at
+    # 576^2/b2: healthy to step ~4.5k, then one spike -> NaN forever).
+    #   skip_nonfinite_updates: wrap the optimizer in
+    #     optax.apply_if_finite — a step whose gradients contain NaN/inf is
+    #     SKIPPED (params + Adam moments untouched) instead of poisoning
+    #     the weights; finite steps are bit-identical to the unwrapped
+    #     optimizer.  After 100 consecutive bad steps the guard passes
+    #     NaNs through so a genuine divergence stays visible.
+    #   grad_clip_norm: optax.clip_by_global_norm before Adam; 0 = off
+    #     (reference parity — TF1 run does not clip).
+    skip_nonfinite_updates: bool = True
+    grad_clip_norm: float = 0.0
     # Fused Pallas NMS kernel (suppression matrix VMEM-resident).  Exact
     # parity with the jnp path and ~10% faster; off by default because the
     # serial select-rounds dominate either way.

@@ -76,7 +76,7 @@ def run_split(cfg: DISYoloConfig, model, variables, images: np.ndarray,
         groups: Dict[Tuple[int, int], List[int]] = {}
         for i, nm in enumerate(names):
             groups.setdefault(tuple(gt_sizes[nm]), []).append(i)
-        by_name: Dict[str, Dict] = {}
+        jobs = []
         for (h0, w0), idxs in groups.items():
             run_p = cache.get((h0, w0))
             if run_p is None:
@@ -87,20 +87,36 @@ def run_split(cfg: DISYoloConfig, model, variables, images: np.ndarray,
                 np.asarray(run_p(variables, jnp.asarray(warm[0]),
                                  jnp.asarray(warm[1]))[0])
             for v in range(0, len(idxs), b):
-                sel = idxs[v:v + b]
-                imgs, wins = _pad_batch(b, images[sel], windows[sel])
-                t0 = time.time()
-                dets, packed, valid, sem = run_p(variables, jnp.asarray(imgs),
-                                                 jnp.asarray(wins))
-                dets, packed = np.asarray(dets), np.asarray(packed)
-                valid, sem = np.asarray(valid), np.asarray(sem)
-                t_pred += time.time() - t0
-                full = np.unpackbits(packed, axis=-1, count=w0).astype(bool)
-                for i, ix in enumerate(sel):
-                    by_name[names[ix]] = {
-                        "imname": names[ix], "boxes": dets[i],
-                        "full_masks": full[i], "valid": valid[i],
-                        "semantic": sem[i]}
+                jobs.append((run_p, idxs[v:v + b], w0))
+
+        # PIPELINED dispatch: jax dispatch is async, only the np.asarray
+        # fetch blocks — issuing batch t+1 before fetching batch t overlaps
+        # device compute with the (tunnel-RTT-dominated) wire transfer.
+        # The serial loop paid RTT + compute + transfer per batch.
+        by_name: Dict[str, Dict] = {}
+
+        def fetch(entry):
+            (sel, w0), out = entry
+            dets, packed = np.asarray(out[0]), np.asarray(out[1])
+            valid, sem = np.asarray(out[2]), np.asarray(out[3])
+            full = np.unpackbits(packed, axis=-1, count=w0).astype(bool)
+            for i, ix in enumerate(sel):
+                by_name[names[ix]] = {
+                    "imname": names[ix], "boxes": dets[i],
+                    "full_masks": full[i], "valid": valid[i],
+                    "semantic": sem[i]}
+
+        t0 = time.time()
+        inflight: List = []
+        for run_p, sel, w0 in jobs:
+            imgs, wins = _pad_batch(b, images[sel], windows[sel])
+            out = run_p(variables, jnp.asarray(imgs), jnp.asarray(wins))
+            inflight.append(((sel, w0), out))
+            if len(inflight) > 2:
+                fetch(inflight.pop(0))
+        for entry in inflight:
+            fetch(entry)
+        t_pred += time.time() - t0
         return [by_name[nm] for nm in names], t_pred
 
     run = predict_fn or api.make_jitted_predict(model, mesh=mesh)
@@ -114,13 +130,24 @@ def run_split(cfg: DISYoloConfig, model, variables, images: np.ndarray,
             pass
     detdata: List[Dict] = []
     n = len(names)
-    for v in range(0, n, b):
-        imgs, wins = _pad_batch(b, images[v:v + b], windows[v:v + b])
-        t0 = time.time()
-        dets, masks = run(variables, jnp.asarray(imgs), jnp.asarray(wins))
-        dets, masks = np.asarray(dets), np.asarray(masks)
-        t_pred += time.time() - t0
+
+    def fetch(entry):
+        v, out = entry
+        dets, masks = np.asarray(out[0]), np.asarray(out[1])
         for i in range(min(b, n - v)):
             detdata.append({"imname": names[v + i], "boxes": dets[i],
                             "masks": masks[i]})
+
+    # pipelined dispatch (see the device_paste route above)
+    t0 = time.time()
+    inflight: List = []
+    for v in range(0, n, b):
+        imgs, wins = _pad_batch(b, images[v:v + b], windows[v:v + b])
+        out = run(variables, jnp.asarray(imgs), jnp.asarray(wins))
+        inflight.append((v, out))
+        if len(inflight) > 2:
+            fetch(inflight.pop(0))
+    for entry in inflight:
+        fetch(entry)
+    t_pred += time.time() - t0
     return detdata, t_pred

@@ -184,7 +184,12 @@ class Solver:
             epoch_count += 1
 
             if step % cfg.summary_iter == 0 and ckpt.is_primary():
-                self.logger.log(step, {k: float(v) for k, v in metrics.items()})
+                row = {k: float(v) for k, v in metrics.items()}
+                # skipped non-finite-grad steps (optax.apply_if_finite state)
+                if hasattr(self.state.opt_state, "total_notfinite"):
+                    row["skipped_nonfinite"] = int(
+                        self.state.opt_state.total_notfinite)
+                self.logger.log(step, row)
 
             if step % cfg.save_iter == 0:
                 record_loss = float(epoch_loss) / max(epoch_count, 1)

@@ -96,14 +96,22 @@ def make_optimizer(params, cfg: DISYoloConfig,
         lr_schedule = piecewise_lr_schedule(cfg)
     mask = trainable_mask(params, cfg)
     labels = jax.tree.map(lambda t: "train" if t else "frozen", mask)
-    opt = optax.chain(
+    steps = []
+    if cfg.grad_clip_norm > 0:
+        steps.append(optax.clip_by_global_norm(cfg.grad_clip_norm))
+    steps += [
         optax.scale_by_adam(),
         optax.scale_by_schedule(lambda s: -lr_schedule(s + 1)),
-    )
+    ]
     # frozen params get a hard zero update (TF trainable=False parity);
     # optax.masked would instead pass raw gradients through untouched.
-    return optax.multi_transform({"train": opt, "frozen": optax.set_to_zero()},
-                                 labels)
+    tx = optax.multi_transform(
+        {"train": optax.chain(*steps), "frozen": optax.set_to_zero()}, labels)
+    if cfg.skip_nonfinite_updates:
+        # non-finite-gradient steps are skipped whole (see config.py); the
+        # wrapper state's total_notfinite count is surfaced by the Solver
+        tx = optax.apply_if_finite(tx, max_consecutive_errors=100)
+    return tx
 
 
 def prepare_batch(batch: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
@@ -250,12 +258,28 @@ def grads_and_aux(params, batch_stats, batch, keys, model: DISYolo):
             jax.tree.map(lambda m: m * inv, msum))
 
 
+def _guard_stats(cfg: DISYoloConfig, new_stats, old_stats):
+    """Keep BN running stats finite (cfg.skip_nonfinite_updates).
+
+    optax.apply_if_finite protects params/optimizer from a non-finite
+    gradient, but the BN moving mean/var are updated in the *forward*
+    pass — one batch whose activations overflow would poison the EMA
+    forever.  If any new stat is non-finite, keep the whole old tree
+    (bitwise no-op on healthy steps)."""
+    if not cfg.skip_nonfinite_updates:
+        return new_stats
+    from jax.flatten_util import ravel_pytree
+    ok = jnp.all(jnp.isfinite(ravel_pytree(new_stats)[0]))
+    return jax.tree.map(lambda n, o: jnp.where(ok, n, o), new_stats, old_stats)
+
+
 def train_step(state: TrainState, batch, key, model: DISYolo,
                tx: optax.GradientTransformation):
     batch = prepare_batch(batch)
     keys = jax.random.split(key, batch["images"].shape[0])
     grads, new_stats, metrics = grads_and_aux(
         state.params, state.batch_stats, batch, keys, model)
+    new_stats = _guard_stats(model.cfg, new_stats, state.batch_stats)
     updates, new_opt = tx.update(grads, state.opt_state, state.params)
     new_params = optax.apply_updates(state.params, updates)
     return TrainState(new_params, new_stats, new_opt, state.step + 1), metrics
@@ -327,6 +351,7 @@ def make_jitted_train_step(model: DISYolo, tx: optax.GradientTransformation,
         # happens exactly once, after accumulation
         grads, new_stats, metrics = grads_and_aux(
             state.params, state.batch_stats, batch, keys, model_sync)
+        new_stats = _guard_stats(cfg, new_stats, state.batch_stats)
         flat, unravel = ravel_pytree(grads)
         mleaves, mdef = jax.tree.flatten(metrics)
         packed = jnp.concatenate(

@@ -105,6 +105,12 @@ def main():
     ap.add_argument("--pretrain-steps", type=int, default=3000)
     ap.add_argument("--scale", type=float, default=1.0,
                     help="scale the 10k/30k stage schedule (1.0 = published)")
+    ap.add_argument("--clip", type=float, default=10.0,
+                    help="grad_clip_norm (the published reference does not "
+                         "clip, but its stability came from the mature COCO "
+                         "backbone we cannot download; the first 576^2 "
+                         "attempt without clipping spiked to NaN at stage-1 "
+                         "step ~4.5k — PARITY.md deviation #8)")
     args = ap.parse_args()
     enable_compilation_cache()
     ensure_data(args.root, args.train_images, args.val_images)
@@ -117,9 +123,10 @@ def main():
     tag = f"s{args.stride}"
     base = dict(dataset=args.root, image_size=args.size, test_size=args.size,
                 batch_size=args.batch, mask_stride=args.stride,
-                summary_iter=50, save_iter=500,
+                summary_iter=50, save_iter=500, grad_clip_norm=args.clip,
                 device_side_augs=True, max_keep_ckpt=3)
     summary = {"stride": args.stride, "size": args.size, "batch": args.batch,
+               "grad_clip_norm": args.clip,
                "schedule": {"pretrain": args.pretrain_steps,
                             "stage1": s1_steps, "stage2": s2_steps,
                             "s2_lr_boundaries": list(s2_bounds)}}
