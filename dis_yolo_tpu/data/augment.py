@@ -62,21 +62,21 @@ def place_and_pad(image: np.ndarray, new_w: int, new_h: int, dx: int, dy: int,
     im = resize_bilinear(image, new_w, new_h)
     if im.ndim == 2:
         im = im[:, :, None]
-    if dx > 0:
-        im = np.pad(im, ((0, 0), (dx, 0), (0, 0)), constant_values=pad_value)
-    else:
-        im = im[:, -dx:, :]
-    if (new_w + dx) < net_w:
-        im = np.pad(im, ((0, 0), (0, net_w - (new_w + dx)), (0, 0)),
-                    constant_values=pad_value)
-    if dy > 0:
-        im = np.pad(im, ((dy, 0), (0, 0), (0, 0)), constant_values=pad_value)
-    else:
-        im = im[-dy:, :, :]
-    if (new_h + dy) < net_h:
-        im = np.pad(im, ((0, net_h - (new_h + dy)), (0, 0), (0, 0)),
-                    constant_values=pad_value)
-    return im[:net_h, :net_w, :]
+    # One canvas fill + one slice copy. Output pixel (y, x) is
+    # resized[y - dy, x - dx] when that lands inside the resized image and
+    # pad_value otherwise — exactly what the original crop-negative-offsets /
+    # pad-positive-offsets / final-crop chain computed, without the up-to-4
+    # intermediate np.pad reallocations (~3 ms/example at 576^2 in the
+    # loader-floor profile).
+    src_y0, src_x0 = max(-dy, 0), max(-dx, 0)
+    dst_y0, dst_x0 = max(dy, 0), max(dx, 0)
+    h_copy = min(new_h - src_y0, net_h - dst_y0)
+    w_copy = min(new_w - src_x0, net_w - dst_x0)
+    out = np.full((net_h, net_w, im.shape[2]), pad_value, im.dtype)
+    if h_copy > 0 and w_copy > 0:
+        out[dst_y0:dst_y0 + h_copy, dst_x0:dst_x0 + w_copy] = \
+            im[src_y0:src_y0 + h_copy, src_x0:src_x0 + w_copy]
+    return out
 
 
 def sample_scale_crop(rng: np.random.RandomState, image_w: int, image_h: int,
@@ -136,14 +136,23 @@ def add_salt_pepper_noise(im: np.ndarray, rng: np.random.RandomState) -> np.ndar
 
 
 def change_light(image: np.ndarray, rng: np.random.RandomState) -> np.ndarray:
-    """Scale HLS lightness by U(0.5, 1.5) (train_data.py:522-531)."""
-    if cv2 is None:
-        coeff = rng.uniform() + 0.5
-        return np.clip(image.astype(np.float64) * coeff, 0, 255).astype(np.uint8)
-    hls = cv2.cvtColor(image, cv2.COLOR_RGB2HLS).astype(np.float64)
+    """Scale HLS lightness by U(0.5, 1.5) (train_data.py:522-531).
+
+    The reference's float64 round-trip (`hls.astype(f64); L*=coeff;
+    min(...,255); astype(u8)`) maps each uint8 L value independently, so it
+    collapses to a 256-entry LUT on the L channel — bit-exact (the same
+    multiply / clamp / C-truncation per value) at ~1/20 the cost of
+    materializing two full-image float64 copies (the loader-floor profile
+    had this at 29 ms/call on a 576^2 image).
+    """
     coeff = rng.uniform() + 0.5
-    hls[:, :, 1] = np.minimum(hls[:, :, 1] * coeff, 255)
-    return cv2.cvtColor(hls.astype(np.uint8), cv2.COLOR_HLS2RGB)
+    if cv2 is None:
+        return np.clip(image.astype(np.float64) * coeff, 0, 255).astype(np.uint8)
+    hls = cv2.cvtColor(image, cv2.COLOR_RGB2HLS)
+    lut = np.minimum(np.arange(256, dtype=np.float64) * coeff,
+                     255).astype(np.uint8)
+    hls[:, :, 1] = lut[hls[:, :, 1]]
+    return cv2.cvtColor(hls, cv2.COLOR_HLS2RGB)
 
 
 def _motion_kernel(dim: int, angle_deg: float, line_type: str) -> np.ndarray:

@@ -58,6 +58,63 @@ def test_photometric_dispatch_order(rng):
     np.testing.assert_array_equal(same, img)
 
 
+def test_change_light_lut_matches_float64_roundtrip(rng):
+    """The LUT fast path must be bit-exact vs the reference's full-image
+    float64 HLS round-trip (train_data.py:522-531): convert to HLS, scale L
+    in float64, clamp at 255, C-truncate back to uint8, convert back."""
+    cv2 = pytest.importorskip("cv2")
+    for seed in range(6):
+        img = (np.random.RandomState(seed).rand(37, 53, 3) * 255).astype(np.uint8)
+        got = augment.change_light(img, np.random.RandomState(seed))
+        # literal reference construction
+        hls = cv2.cvtColor(img, cv2.COLOR_RGB2HLS).astype(np.float64)
+        coeff = np.random.RandomState(seed).uniform() + 0.5
+        hls[:, :, 1] = np.minimum(hls[:, :, 1] * coeff, 255)
+        want = cv2.cvtColor(hls.astype(np.uint8), cv2.COLOR_HLS2RGB)
+        np.testing.assert_array_equal(got, want)
+
+
+def _place_and_pad_padchain(image, new_w, new_h, dx, dy, net_w, net_h,
+                            pad_value):
+    """Literal crop-then-pad chain the rewrite replaced (oracle)."""
+    im = augment.resize_bilinear(image, new_w, new_h)
+    if im.ndim == 2:
+        im = im[:, :, None]
+    if dx > 0:
+        im = np.pad(im, ((0, 0), (dx, 0), (0, 0)), constant_values=pad_value)
+    else:
+        im = im[:, -dx:, :]
+    if (new_w + dx) < net_w:
+        im = np.pad(im, ((0, 0), (0, net_w - (new_w + dx)), (0, 0)),
+                    constant_values=pad_value)
+    if dy > 0:
+        im = np.pad(im, ((dy, 0), (0, 0), (0, 0)), constant_values=pad_value)
+    else:
+        im = im[-dy:, :, :]
+    if (new_h + dy) < net_h:
+        im = np.pad(im, ((0, net_h - (new_h + dy)), (0, 0), (0, 0)),
+                    constant_values=pad_value)
+    return im[:net_h, :net_w, :]
+
+
+def test_place_and_pad_matches_padchain_oracle(rng):
+    """Single-canvas placement == the original np.pad chain, on every
+    offset-sign combination incl. overhang past the right/bottom edge."""
+    img = (rng.rand(40, 46, 3) * 255).astype(np.float32)
+    cases = [(20, 22, 10, 9), (20, 22, 0, 0), (60, 58, -5, -7),
+             (60, 58, 3, -4), (60, 58, -6, 2), (30, 30, 25, 25),
+             (48, 48, 0, 0), (70, 64, -10, -9)]
+    for new_w, new_h, dx, dy in cases:
+        got = augment.place_and_pad(img, new_w, new_h, dx, dy, 48, 48, 127.0)
+        want = _place_and_pad_padchain(img, new_w, new_h, dx, dy, 48, 48, 127.0)
+        np.testing.assert_array_equal(got, want, err_msg=str((new_w, new_h, dx, dy)))
+    # mask variant: 2-D float input, pad 0
+    m = (rng.rand(40, 46) > 0.5).astype(np.float32)
+    got = augment.place_and_pad(m, 60, 58, -5, 3, 48, 48, 0.0)
+    want = _place_and_pad_padchain(m, 60, 58, -5, 3, 48, 48, 0.0)
+    np.testing.assert_array_equal(got, want)
+
+
 def test_motion_kernel_shapes():
     for lt in ("full", "left", "right"):
         k = augment._motion_kernel(3, 45.0, lt)
