@@ -18,8 +18,14 @@ def test_bce_matches_tf_formula(rng):
     x = rng.randn(100).astype(np.float32) * 5
     labels = (rng.rand(100) > 0.5).astype(np.float32)
     got = np.asarray(yl._bce_with_logits(jnp.asarray(labels), jnp.asarray(x)))
-    sig = 1 / (1 + np.exp(-x))
-    want = -(labels * np.log(sig + 1e-12) + (1 - labels) * np.log(1 - sig + 1e-12))
+    # Oracle in float64: the naive 1-sigmoid loses ~5 decimal digits in
+    # float32 once |x| > 13 (1-sig falls below the ULP of 1.0), and the
+    # session-scoped rng fixture makes the draw order-dependent across the
+    # suite — a large sample must not fail the stable-formula implementation.
+    x64 = x.astype(np.float64)
+    sig = 1 / (1 + np.exp(-x64))
+    want = -(labels * np.log(sig + 1e-300)
+             + (1 - labels) * np.log(1 - sig + 1e-300))
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-5)
 
 
