@@ -64,7 +64,9 @@ def chain_scan_time(body: Callable, x0, n: int = 20, repeats: int = 3,
             def step(c, _):
                 out = body(c, *a)
                 s = jnp.sum(out)
-                return c + s * 1e-20, s
+                # cast keeps a non-f32 carry (e.g. a bf16 activation) from
+                # being dtype-promoted, which scan rejects
+                return c + (s * 1e-20).astype(c.dtype), s
             _, outs = jax.lax.scan(step, x, None, length=length)
             return outs.sum()
         return chain
