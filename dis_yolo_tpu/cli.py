@@ -135,7 +135,7 @@ def cmd_eval(args):
     detdata, t_pred = run_split(
         cfg, model, variables, images, names, windows,
         device_paste=bool(getattr(args, "device_paste", False)),
-        gt_sizes=evaluator.gt_sizes, mesh=mesh)
+        gt_sizes=evaluator.gt_sizes, mesh=mesh, want_semantic=True)
     res = evaluator.evaluate_detections(detdata, collect_semantic=True)
     miou = evaluator.miou(res.pop("semantic_maps"))
     n_timed = max(len(names), 1)

@@ -124,9 +124,11 @@ class Evaluator:
         requested (for mIoU).
 
         Entries may instead carry device-pasted outputs
-        (``ops.paste.paste_masks_batch``): 'full_masks' [D,H,W] bool,
-        'valid' [D], 'semantic' [H,W] uint8 — the on-device equivalent of
-        the host crop/resize/paste, skipping ``detections_to_original``.
+        (``ops.paste.paste_masks_batch``): 'full_masks' [D,H,W] bool or
+        'full_masks_packed' [D,H,ceil(W/8)] uint8 (np.packbits rows, fed
+        straight to the popcount IoU), plus 'valid' [D], 'semantic' [H,W]
+        uint8 — the on-device equivalent of the host crop/resize/paste,
+        skipping ``detections_to_original``.
         """
         import time
         assert len(detdata) == len(self.index)
@@ -138,6 +140,22 @@ class Evaluator:
             stem = det["imname"]
             assert stem == self.index[i]
             h, w = self.gt_sizes[stem]
+            if "full_masks_packed" in det:    # device-pasted, bit-packed
+                # stays packed all the way into voc_eval's popcount IoU —
+                # no host unpack pass, 8 px/byte end to end
+                boxes = np.asarray(det["boxes"])
+                packed = np.asarray(det["full_masks_packed"])
+                valid = np.asarray(det["valid"])
+                assert packed.shape[1] == h and packed.shape[2] == -(-w // 8)
+                for k in range(packed.shape[0]):
+                    if not valid[k]:
+                        continue
+                    per_class[int(boxes[k, 4])].append(
+                        {"imageid": stem, "score": float(boxes[k, 5]),
+                         "mask_packed": packed[k]})
+                if collect_semantic:
+                    semantic_maps[stem] = np.asarray(det["semantic"])
+                continue
             if "full_masks" in det:           # device-pasted fast path
                 boxes = np.asarray(det["boxes"])
                 full = np.asarray(det["full_masks"])

@@ -12,6 +12,10 @@ from typing import Dict, List, Sequence
 
 import numpy as np
 
+# byte -> set-bit count, for mask IoU on bit-packed masks (8 px/byte)
+_POP8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None],
+                      axis=1).sum(axis=1).astype(np.uint16)
+
 
 def voc_ap(rec: np.ndarray, prec: np.ndarray, use_07_metric: bool = False) -> float:
     """AP from recall/precision arrays (voc_eval_mask.py:9-35)."""
@@ -42,12 +46,42 @@ def compute_overlaps_masks(masks1: np.ndarray, masks2: np.ndarray) -> np.ndarray
     return inter / union
 
 
+def packed_overlaps(det_packed: np.ndarray, gt_packed: np.ndarray,
+                    gt_areas: np.ndarray) -> np.ndarray:
+    """IoU of one bit-packed mask [H,Wb] against a packed stack [G,H,Wb].
+
+    Popcount on the byte-wise AND — exact integer intersections, so the
+    float32 division reproduces ``compute_overlaps_masks`` bit-for-bit
+    (pixel counts < 2^24 are exact in float32) at 1/8 the host memory
+    traffic and with no unpack pass.  Trailing pad bits are zero in both
+    operands (np.packbits / ops.paste.pack_mask_bits both zero-pad).
+    """
+    inter = _POP8[det_packed[None] & gt_packed].sum(axis=(1, 2),
+                                                    dtype=np.int64)
+    det_area = int(_POP8[det_packed].sum(dtype=np.int64))
+    inter32 = inter.astype(np.float32)
+    union32 = (det_area + gt_areas - inter).astype(np.float32)
+    return inter32 / union32
+
+
+def _packed_gt(rec: Dict) -> None:
+    """Lazily bit-pack a class_rec's GT stack (once per image/class)."""
+    if "packed" not in rec:
+        gt = rec["mask"]                        # [H, W, G] bool
+        stack = np.packbits(np.moveaxis(gt, -1, 0) > 0.5, axis=-1)
+        rec["packed"] = stack                   # [G, H, ceil(W/8)]
+        rec["areas"] = np.array([int(_POP8[m].sum(dtype=np.int64))
+                                 for m in stack], np.int64)
+
+
 def voc_eval(detections: List[Dict], gt_records: Dict[str, List[Dict]],
              imagenames: Sequence[str], classid: int, ovthresh: float = 0.5,
              use_07_metric: bool = False):
     """(recall, precision, ap) for one class.
 
-    detections: [{'imageid', 'score', 'mask' bool[H,W]}, ...]
+    detections: [{'imageid', 'score', 'mask' bool[H,W]}, ...] — or, from
+    the device-paste sweep, {'mask_packed' uint8[H,ceil(W/8)]} (bit-packed
+    rows, np.packbits convention); the two forms score identically.
     gt_records: imageid -> [{'classid', 'difficult', 'mask'}, ...]
     Matching semantics identical to voc_eval_mask.py:56-134, including the
     strict ``ovmax > ovthresh`` comparison and double-detection -> FP.
@@ -83,10 +117,17 @@ def voc_eval(detections: List[Dict], gt_records: Dict[str, List[Dict]],
         gt = rec["mask"]
         ovmax, jmax = -np.inf, -1
         if gt.size > 0:
-            overlaps = compute_overlaps_masks(det["mask"][..., None].astype(float),
-                                              gt.astype(float))
-            ovmax = overlaps[0].max()
-            jmax = int(overlaps[0].argmax())
+            if "mask_packed" in det:
+                _packed_gt(rec)
+                overlaps = packed_overlaps(det["mask_packed"],
+                                           rec["packed"], rec["areas"])
+                ovmax = overlaps.max()
+                jmax = int(overlaps.argmax())
+            else:
+                overlaps = compute_overlaps_masks(
+                    det["mask"][..., None].astype(float), gt.astype(float))
+                ovmax = overlaps[0].max()
+                jmax = int(overlaps[0].argmax())
         if ovmax > ovthresh:
             if not rec["difficult"][jmax]:
                 if not rec["det"][jmax]:

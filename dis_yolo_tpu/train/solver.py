@@ -131,7 +131,8 @@ class Solver:
             self.cfg, self.model, variables, images, names, windows,
             device_paste=device_paste, gt_sizes=self.evaluator.gt_sizes,
             mesh=self.mesh, predict_fn=None if device_paste else self.predict_fn,
-            paste_cache=self._paste_cache)
+            paste_cache=self._paste_cache,
+            want_semantic=False)   # mAP only — skip the mIoU semantic map
         result = self.evaluator.evaluate_detections(detdata)
         result["t_device_s"] = t_pred
         return result

@@ -85,6 +85,45 @@ def main():
                           "artifact_s_per_image": round(t_art, 6),
                           "artifact_mb": round(size_mb, 1)}))
 
+    # --- shape-polymorphic artifact: ONE blob serves every batch size ----
+    # (VERDICT r3 next #5 — the analog of the reference graph's
+    # [None, None, None, 3] placeholder, yolo3_net_pos.py:44.)  Symbolic
+    # batch pins the jnp assembly (bit-identical to Pallas); the table
+    # below is the measured latency tax of that portability.
+    exported_sym = exp.export_predict(cfg, dv, batch_size="b",
+                                      platforms=("tpu",))
+    print(f"symbolic export ok: in_avals={exported_sym.in_avals[0].shape}")
+    with tempfile.TemporaryDirectory() as td:
+        blob = exp.save_artifact(exported_sym, os.path.join(td, "sym"), cfg)
+        size_mb = os.path.getsize(blob) / 1e6
+        run_sym, meta = exp.load_artifact(os.path.join(td, "sym"))
+        model = api.create_model(cfg)
+        live = api.make_jitted_predict(model)
+        out = {"symbolic_artifact_mb": round(size_mb, 1)}
+        for b in (1, 8):
+            rng = np.random.RandomState(b)
+            img = jnp.asarray(rng.rand(b, cfg.test_size, cfg.test_size, 3)
+                              .astype(np.float32))
+            win = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0, 1.0]], jnp.float32),
+                           (b, 1))
+            d_live, m_live = jax.block_until_ready(live(dv, img, win))
+            d_art, m_art = jax.block_until_ready(run_sym(img, win))
+            # live uses the Pallas assembly, the artifact the jnp one —
+            # bit-identical formulations (tests/test_pallas_assembly.py)
+            np.testing.assert_array_equal(np.asarray(d_live),
+                                          np.asarray(d_art))
+            np.testing.assert_array_equal(np.asarray(m_live),
+                                          np.asarray(m_art))
+
+            def body(x, b=b):
+                d, m = run_sym(x, win)
+                return d[..., 4].sum() + m.astype(jnp.float32).sum() * 1e-9
+
+            t = chain_scan_time(body, img, n=10)
+            out[f"symbolic_b{b}_s_per_image"] = round(t / b, 6)
+        print("one symbolic artifact served b1 AND b8, outputs == live")
+        print(json.dumps(out))
+
 
 if __name__ == "__main__":
     main()

@@ -79,21 +79,32 @@ def main():
         solver.validate(device_paste=device_paste)     # compile, untimed
         times = []
         for _ in range(3):
+            timing = {}
             t0 = time.time()
             detdata, t_pred = run_split(
                 cfg, solver.model, variables, images, names, windows,
                 device_paste=device_paste,
                 gt_sizes=solver.evaluator.gt_sizes,
                 predict_fn=None if device_paste else solver.predict_fn,
-                paste_cache=solver._paste_cache)
+                paste_cache=solver._paste_cache, timing=timing,
+                want_semantic=False)   # mirror Solver.validate's programs
             t1 = time.time()
             res = solver.evaluator.evaluate_detections(detdata)
-            times.append((time.time() - t0, t1 - t0, t_pred))
-        t, t_sweep, t_dev = min(times)
+            times.append((time.time() - t0, t1 - t0, t_pred, timing))
+        t, t_sweep, t_dev, timing = min(times, key=lambda r: r[0])
         out[mode] = round(t, 3)
-        print(f"{mode:12s}: full val sweep ({args.images} img @ {args.size}^2)"
+        n = args.images
+        print(f"{mode:12s}: full val sweep ({n} img @ {args.size}^2)"
               f" = {t:.3f} s  (run_split {t_sweep:.3f}, device {t_dev:.3f}, "
               f"score {t - t_sweep:.3f})", flush=True)
+        attrib = {"ms_per_img_total": round(t / n * 1e3, 1),
+                  "ms_per_img_devwait_and_wire":
+                      round(timing.get("fetch_s", 0.) / n * 1e3, 1),
+                  "ms_per_img_dispatch_and_collate":
+                      round((t_sweep - timing.get("fetch_s", 0.))
+                            / n * 1e3, 1),
+                  "ms_per_img_score": round((t - t_sweep) / n * 1e3, 1)}
+        print(json.dumps({mode + "_attribution": attrib}), flush=True)
     out["speedup"] = round(out["host_paste"] / out["device_paste"], 2)
     print(json.dumps(out))
     solver.data.stop()

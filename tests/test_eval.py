@@ -44,6 +44,31 @@ def test_voc_eval_greedy_matching():
     assert recall == 1.0 and precision == 0.5 and ap == 1.0
 
 
+def test_voc_eval_packed_masks_score_identically(rng):
+    """The popcount route ('mask_packed' dets, bit-packed GT) must reproduce
+    the float-dot route exactly — random masks, odd width (pad bits live),
+    multiple GT objects per image, near-threshold IoUs included."""
+    h, w = 37, 53                       # w not a multiple of 8
+    gt = {}
+    dets_bool, dets_packed = [], []
+    for img in ("a", "b", "c"):
+        objs = []
+        for g in range(3):
+            m = rng.rand(h, w) > 0.55
+            objs.append({"classid": 0, "difficult": 0, "mask": m})
+        gt[img] = objs
+        for d in range(4):
+            # perturb a GT mask so IoUs land all over [0, 1]
+            m = gt[img][d % 3]["mask"] ^ (rng.rand(h, w) > 0.8 + 0.05 * d)
+            score = float(rng.rand())
+            dets_bool.append({"imageid": img, "score": score, "mask": m})
+            dets_packed.append({"imageid": img, "score": score,
+                                "mask_packed": np.packbits(m, axis=-1)})
+    want = voc_eval(dets_bool, gt, ["a", "b", "c"], 0)
+    got = voc_eval(dets_packed, gt, ["a", "b", "c"], 0)
+    assert got == want
+
+
 def test_correct_yolo_box_identity():
     # image exactly net-sized: inverse letterbox is just scaling
     x1, y1, x2, y2 = correct_yolo_box(0.25, 0.25, 0.75, 0.75, 96, 96, 96, 96)
