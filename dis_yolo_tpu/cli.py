@@ -1,4 +1,5 @@
-"""Command-line interface: preprocess / train / eval / bench / convert-tf1.
+"""Command-line interface: preprocess / train / eval / infer / export /
+convert-tf1 / convert-darknet.
 
 The reference has no CLI flags at all (scripts edited by hand +
 ``cfg.BATCH_SIZE = 1`` runtime mutation, calculate_test_map.py:354); this
@@ -327,6 +328,25 @@ def cmd_convert_tf1(args):
     print(f"saved {len(values)} tensors to {args.out}")
 
 
+def cmd_convert_darknet(args):
+    import jax
+    import numpy as np
+    from dis_yolo_tpu.config import DISYoloConfig
+    from dis_yolo_tpu.models import api
+    from dis_yolo_tpu.train.checkpoint import read_darknet_weights
+    cfg = DISYoloConfig(classes=tuple(f"class{i}"
+                                      for i in range(args.num_class)))
+    # shapes only — eval_shape skips the 61M-param init compute
+    shapes = jax.eval_shape(
+        lambda: api.init_variables(cfg, jax.random.PRNGKey(0),
+                                   image_size=64))
+    values = read_darknet_weights(args.weights, shapes,
+                                  source_classes=args.source_classes)
+    np.save(args.out, values, allow_pickle=True)
+    print(f"saved {len(values)} tensors to {args.out} "
+          f"(feed to train --tf1-weights for the stage-1 restore)")
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(prog="dis_yolo_tpu")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -429,6 +449,20 @@ def main(argv=None):
     p.add_argument("--ckpt", required=True)
     p.add_argument("--out", required=True)
     p.set_defaults(fn=cmd_convert_tf1)
+
+    p = sub.add_parser(
+        "convert-darknet",
+        help="darknet yolov3.weights -> .npy weight dict (TF1 names); "
+             "the reference README's custom-dataset step 2, natively")
+    p.add_argument("--weights", required=True, help="path to .weights binary")
+    p.add_argument("--out", required=True)
+    p.add_argument("--num-class", type=int, default=3,
+                   help="this model's class count (default 3)")
+    p.add_argument("--source-classes", type=int, default=80,
+                   help="class count the .weights was trained for "
+                        "(80 for the stock COCO yolov3.weights); detection "
+                        "convs are cropped per anchor when they differ")
+    p.set_defaults(fn=cmd_convert_darknet)
 
     args = parser.parse_args(argv)
     from dis_yolo_tpu.utils.runtime import enable_compilation_cache

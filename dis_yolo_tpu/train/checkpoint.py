@@ -242,3 +242,104 @@ def stage1_restore(variables, tf1_values):
     return load_tf1_weights(variables, tf1_values,
                             layers=set(STAGE1_CONV_BN) | set(STAGE1_CONV_BIAS),
                             ignore_missing=True)
+
+
+# ---------------------------------------------------------------------------
+# Darknet bridge
+# ---------------------------------------------------------------------------
+
+def read_darknet_weights(path: str, variables: Dict[str, Any],
+                         source_classes: Optional[int] = 80
+                         ) -> Dict[str, np.ndarray]:
+    """Parse a darknet ``yolov3.weights`` binary into {tf1_name: ndarray}.
+
+    Covers the reference README's custom-dataset step 2 ("download the
+    pretrained yolov3.weights and convert it to a .ckpt file ... manually
+    crop the last class prediction channel") natively: the YOLOv3 layers
+    conv1-75 are serialized in the file exactly in this model's ascending
+    conv order (darknet cfg order == the reference's TF1 scope numbering),
+    each layer as [bn beta, gamma, moving_mean, moving_var | conv bias]
+    then the OIHW kernel, after a 5-int32-word header.
+
+    ``source_classes``: class count the .weights was trained for (80 for
+    the stock COCO release). When it differs from this model's, the three
+    detection convs (59/67/75) are cropped per anchor — block layout
+    [x,y,w,h,obj,cls...] — keeping the first ``num_class`` class channels,
+    which is the README's manual crop. Pass None to require exact shapes.
+
+    ``variables`` may hold arrays or ShapeDtypeStructs (only shapes are
+    read) — use ``jax.eval_shape(api.init_variables, ...)`` to avoid a
+    full init. Returns a dict consumable by ``load_tf1_weights`` /
+    ``stage1_restore``; mask-subnet layers (76+) have no darknet
+    counterpart and are absent.
+    """
+    params = variables["params"]
+    with open(path, "rb") as f:
+        major, minor = np.fromfile(f, np.int32, 2)
+        np.fromfile(f, np.int32, 1)                      # revision
+        # images-seen counter: int64 from format 0.2, int32 before
+        if int(major) * 10 + int(minor) >= 2:
+            np.fromfile(f, np.int64, 1)
+        else:
+            np.fromfile(f, np.int32, 1)
+        buf = np.fromfile(f, np.float32)
+
+    pos = 0
+
+    def take(n: int, what: str) -> np.ndarray:
+        nonlocal pos
+        if pos + n > buf.size:
+            raise ValueError(
+                f"darknet file truncated at {what}: need {n} floats, "
+                f"{buf.size - pos} left — wrong architecture or classes?")
+        out = buf[pos:pos + n]
+        pos += n
+        return out
+
+    values: Dict[str, np.ndarray] = {}
+    for lid in range(1, 76):
+        layer = params[f"convolutional{lid}"]
+        has_bn = "bn" in layer
+        kh, kw, cin, cout = layer["conv"]["kernel"].shape
+        file_cout = cout
+        crop = None
+        if not has_bn and source_classes is not None:
+            # detection conv: 3 anchors x (5 + classes) output channels
+            per_anchor = cout // 3
+            num_class = per_anchor - 5
+            if num_class != source_classes:
+                if num_class > source_classes:
+                    raise ValueError(
+                        f"model has {num_class} classes but the .weights "
+                        f"file only {source_classes}; cropping cannot "
+                        "invent channels — restore the backbone only")
+                file_cout = 3 * (5 + source_classes)
+                crop = (per_anchor, 5 + source_classes)
+        names = tf1_name_map(lid, has_bn)
+        if has_bn:
+            beta = take(cout, f"conv{lid} bn beta")
+            gamma = take(cout, f"conv{lid} bn gamma")
+            mean = take(cout, f"conv{lid} bn mean")
+            var = take(cout, f"conv{lid} bn var")
+            values[names["bn/bias"]] = beta.copy()
+            values[names["bn/scale"]] = gamma.copy()
+            values[names["bn/mean"]] = mean.copy()
+            values[names["bn/var"]] = var.copy()
+        else:
+            bias = take(file_cout, f"conv{lid} bias")
+            if crop:
+                bias = bias.reshape(3, crop[1])[:, :crop[0]].reshape(-1)
+            values[names["conv/bias"]] = bias.copy()
+        kernel = take(file_cout * cin * kh * kw, f"conv{lid} kernel")
+        kernel = kernel.reshape(file_cout, cin, kh, kw)      # darknet OIHW
+        if crop:
+            kernel = (kernel.reshape(3, crop[1], cin, kh, kw)[:, :crop[0]]
+                      .reshape(3 * crop[0], cin, kh, kw))
+        values[names["conv/kernel"]] = (
+            kernel.transpose(2, 3, 1, 0).copy())             # -> HWIO
+    if pos != buf.size:
+        raise ValueError(
+            f"darknet file has {buf.size - pos} unread floats after "
+            f"conv75 — source_classes={source_classes} wrong, or not a "
+            "YOLOv3 .weights file")
+    return values
