@@ -140,6 +140,26 @@ class Evaluator:
             stem = det["imname"]
             assert stem == self.index[i]
             h, w = self.gt_sizes[stem]
+            if "iou" in det:                  # device-scored IoU matrix
+                # sweep route ``device_score``: columns are this image's GT
+                # instances in self.gt_masks order — slice per class so the
+                # row a detection carries lines up with voc_eval's per-class
+                # GT records (identical float32 values to the mask routes)
+                boxes = np.asarray(det["boxes"])
+                iou = np.asarray(det["iou"])
+                valid = np.asarray(det["valid"])
+                gt_cls = np.asarray([o["classid"]
+                                     for o in self.gt_masks[stem]], np.int64)
+                cols = {c: np.where(gt_cls == c)[0]
+                        for c in range(self.cfg.num_class)}
+                for k in range(iou.shape[0]):
+                    if not valid[k]:
+                        continue
+                    c = int(boxes[k, 4])
+                    per_class[c].append(
+                        {"imageid": stem, "score": float(boxes[k, 5]),
+                         "iou_row": iou[k, cols[c]]})
+                continue
             if "full_masks_packed" in det:    # device-pasted, bit-packed
                 # stays packed all the way into voc_eval's popcount IoU —
                 # no host unpack pass, 8 px/byte end to end

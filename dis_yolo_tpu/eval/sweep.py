@@ -35,6 +35,32 @@ def _pad_batch(b: int, imgs: np.ndarray, wins: np.ndarray):
     return imgs, wins
 
 
+def _device_gt(gt_records: Dict[str, List[Dict]], names: List[str],
+               h0: int, w0: int, idxs: List[int]):
+    """Bit-pack one size-group's GT instance masks for device residence.
+
+    Returns (packed [N,G,H,ceil(W/8)] uint8, areas [N,G] f32, row map).
+    Instance order per image matches ``Evaluator.gt_masks`` (region order),
+    which is the order ``voc_eval`` builds its per-class records in — the
+    device IoU matrix columns line up with the host matcher by slicing the
+    per-image class array.  GT is static across sweeps: uploaded once and
+    cached, so repeated validation pays zero GT wire bytes.
+    """
+    g_max = max(1, max(len(gt_records[names[i]]) for i in idxs))
+    wb = -(-w0 // 8)
+    packed = np.zeros((len(idxs), g_max, h0, wb), np.uint8)
+    areas = np.zeros((len(idxs), g_max), np.float32)
+    rows = {}
+    for r, i in enumerate(idxs):
+        rows[names[i]] = r
+        for g, obj in enumerate(gt_records[names[i]]):
+            m = obj["mask"]
+            assert m.shape == (h0, w0)
+            packed[r, g] = np.packbits(m, axis=-1)
+            areas[r, g] = float(m.sum(dtype=np.int64))   # exact: < 2^24
+    return jnp.asarray(packed), jnp.asarray(areas), rows
+
+
 def run_split(cfg: DISYoloConfig, model, variables, images: np.ndarray,
               names: List[str], windows: np.ndarray,
               device_paste: bool = False,
@@ -42,7 +68,10 @@ def run_split(cfg: DISYoloConfig, model, variables, images: np.ndarray,
               mesh=None, predict_fn=None,
               paste_cache: Optional[Dict] = None,
               timing: Optional[Dict[str, float]] = None,
-              want_semantic: bool = True) -> Tuple[List[Dict], float]:
+              want_semantic: bool = True,
+              device_score: bool = False,
+              gt_records: Optional[Dict[str, List[Dict]]] = None
+              ) -> Tuple[List[Dict], float]:
     """Predict a whole split; returns (detdata, device_predict_seconds).
 
     ``device_paste`` runs the on-device crop/resize/binarize/paste
@@ -56,9 +85,89 @@ def run_split(cfg: DISYoloConfig, model, variables, images: np.ndarray,
     ``paste_cache``: caller-owned dict keyed by original size; pass a
     persistent one for repeated sweeps (Solver.validate every save_iter)
     so the per-size pasted programs compile once.
+
+    ``device_score`` (needs ``gt_records`` = Evaluator.gt_masks): computes
+    the det-vs-GT mask IoU matrix on device and returns entries
+    {'boxes','valid','iou'} with NO mask fetch at all — the mAP-sweep fast
+    path for network-attached chips (GT uploads once into ``paste_cache``
+    and stays device-resident across sweeps).
     """
     b = cfg.batch_size
     t_pred = 0.0
+
+    if device_score:
+        # IoU-matrix route: the det-vs-GT mask IoU is computed ON DEVICE
+        # (ops/paste.mask_iou_single — bit-identical to the host popcount
+        # scorer) and only [D,6] boxes + [D,G] floats come over the wire,
+        # ~2.5 KB/img vs ~1.35 MB/img of packed masks.  On a tunneled chip
+        # the sweep was wire-bound (BENCHMARKS "Validation sweep"); this
+        # removes the mask transfer entirely.  mAP-only: callers needing
+        # masks or semantic maps (cli infer/eval mIoU) use device_paste.
+        assert gt_sizes is not None and gt_records is not None
+        from dis_yolo_tpu.ops.paste import mask_iou_batch, paste_masks_single
+
+        def make_run_scored(h0, w0):
+            def f(variables, imgs, wins, gt_p, gt_a, rows):
+                dets, masks = api.predict(model, variables, imgs, wins)
+                full, valid = jax.vmap(
+                    lambda m, d: paste_masks_single(m, d, h0, w0,
+                                                    cfg.test_size)
+                )(masks, dets)
+                iou = mask_iou_batch(full, gt_p[rows], gt_a[rows])
+                return dets, valid, iou
+            return jax.jit(f)
+
+        cache = paste_cache if paste_cache is not None else {}
+        groups: Dict[Tuple[int, int], List[int]] = {}
+        for i, nm in enumerate(names):
+            groups.setdefault(tuple(gt_sizes[nm]), []).append(i)
+        jobs = []
+        for (h0, w0), idxs in groups.items():
+            gt_key = ("__gt__", h0, w0)
+            if gt_key not in cache:     # one-time GT upload, reused forever
+                cache[gt_key] = _device_gt(gt_records, names, h0, w0, idxs)
+            gt_p, gt_a, row_of = cache[gt_key]
+            run_s = cache.get(("score", h0, w0))
+            if run_s is None:
+                run_s = cache[("score", h0, w0)] = make_run_scored(h0, w0)
+                warm = _pad_batch(b, images[idxs[:1]], windows[idxs[:1]])
+                np.asarray(run_s(variables, jnp.asarray(warm[0]),
+                                 jnp.asarray(warm[1]), gt_p, gt_a,
+                                 jnp.zeros((b,), jnp.int32))[0])
+            for v in range(0, len(idxs), b):
+                sel = idxs[v:v + b]
+                rows = [row_of[names[i]] for i in sel]
+                rows = rows + [rows[-1]] * (b - len(rows))   # pad rows too
+                jobs.append((run_s, sel, gt_p, gt_a,
+                             np.asarray(rows, np.int32)))
+
+        by_name: Dict[str, Dict] = {}
+
+        def fetch(entry):
+            sel, out = entry
+            tf0 = time.time()
+            dets, valid, iou = (np.asarray(out[0]), np.asarray(out[1]),
+                                np.asarray(out[2]))
+            if timing is not None:
+                timing["fetch_s"] = (timing.get("fetch_s", 0.)
+                                     + time.time() - tf0)
+            for i, ix in enumerate(sel):
+                by_name[names[ix]] = {"imname": names[ix], "boxes": dets[i],
+                                      "valid": valid[i], "iou": iou[i]}
+
+        t0 = time.time()
+        inflight: List = []
+        for run_s, sel, gt_p, gt_a, rows in jobs:
+            imgs, wins = _pad_batch(b, images[sel], windows[sel])
+            out = run_s(variables, jnp.asarray(imgs), jnp.asarray(wins),
+                        gt_p, gt_a, jnp.asarray(rows))
+            inflight.append((sel, out))
+            if len(inflight) > 2:
+                fetch(inflight.pop(0))
+        for entry in inflight:
+            fetch(entry)
+        t_pred += time.time() - t0
+        return [by_name[nm] for nm in names], t_pred
 
     if device_paste:
         assert gt_sizes is not None, "device_paste needs per-image sizes"

@@ -116,7 +116,15 @@ def voc_eval(detections: List[Dict], gt_records: Dict[str, List[Dict]],
         rec = class_recs[det["imageid"]]
         gt = rec["mask"]
         ovmax, jmax = -np.inf, -1
-        if gt.size > 0:
+        if "iou_row" in det:
+            # device-scored route: the IoU against this image's class-c GTs
+            # was computed on device (ops/paste.mask_iou_single), in the
+            # same instance order — same float32 values as the mask routes
+            row = det["iou_row"]
+            if row.size > 0:
+                ovmax = row.max()
+                jmax = int(row.argmax())
+        elif gt.size > 0:
             if "mask_packed" in det:
                 _packed_gt(rec)
                 overlaps = packed_overlaps(det["mask_packed"],

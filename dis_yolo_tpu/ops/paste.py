@@ -200,6 +200,51 @@ def pack_mask_bits(m: jnp.ndarray) -> jnp.ndarray:
     return (m8.astype(jnp.int32) * weights).sum(-1).astype(jnp.uint8)
 
 
+def unpack_mask_bits(packed: jnp.ndarray, width: int) -> jnp.ndarray:
+    """Inverse of ``pack_mask_bits`` on device: uint8 [..., ceil(W/8)] ->
+    bool [..., W] (np.unpackbits bitorder='big' convention)."""
+    shifts = jnp.asarray([7, 6, 5, 4, 3, 2, 1, 0], jnp.uint8)
+    bits = (packed[..., None] >> shifts) & 1              # [..., Wb, 8]
+    bits = bits.reshape(packed.shape[:-1] + (packed.shape[-1] * 8,))
+    return bits[..., :width].astype(jnp.bool_)
+
+
+def mask_iou_single(full_masks: jnp.ndarray, gt_packed: jnp.ndarray,
+                    gt_areas: jnp.ndarray) -> jnp.ndarray:
+    """Det-vs-GT mask IoU matrix for one image, entirely on device.
+
+    full_masks: [D, H, W] bool (pasted detections);
+    gt_packed:  [G, H, ceil(W/8)] uint8 (np.packbits rows);
+    gt_areas:   [G] float32 (exact integer pixel counts).
+    Returns [D, G] float32, **bit-identical** to the host popcount route
+    (eval/voc_eval.packed_overlaps) and to the reference's flatten-dot
+    (utils/voc_eval_mask.py:37-54): operands are exactly 0/1 so every
+    product is exact even in bf16, the MXU accumulates in float32, and all
+    counts are < 2^24 — the final float32 division sees identical integer
+    operands on every route.
+    """
+    h, w = full_masks.shape[1:]
+    gt = unpack_mask_bits(gt_packed, w)                   # [G, H, W]
+    # 0/1 operands: bf16 halves the HBM traffic of the flattened stacks
+    # with zero rounding (0.0/1.0 exact); accumulate f32 on the MXU.
+    det_f = full_masks.reshape(full_masks.shape[0], -1).astype(jnp.bfloat16)
+    gt_f = gt.reshape(gt.shape[0], -1).astype(jnp.bfloat16)
+    inter = jnp.einsum("dp,gp->dg", det_f, gt_f,
+                       preferred_element_type=jnp.float32)
+    det_area = jnp.sum(full_masks.reshape(full_masks.shape[0], -1),
+                       axis=-1, dtype=jnp.float32)        # exact: < 2^24
+    union = det_area[:, None] + gt_areas[None, :] - inter
+    # guard empty/empty pairs (union 0 -> host route never reads them:
+    # zero-area GTs are filtered at rasterization, zero-area dets invalid)
+    return inter / jnp.maximum(union, 1.0)
+
+
+def mask_iou_batch(full_masks: jnp.ndarray, gt_packed: jnp.ndarray,
+                   gt_areas: jnp.ndarray) -> jnp.ndarray:
+    """Batched ``mask_iou_single``: [B,D,H,W] x [B,G,H,Wb] -> [B,D,G]."""
+    return jax.vmap(mask_iou_single)(full_masks, gt_packed, gt_areas)
+
+
 def paste_masks_batch(masks: jnp.ndarray, dets: jnp.ndarray,
                       image_h: int, image_w: int, net_size: int):
     """Batched full pipeline tail: [B,D,S,S] + [B,D,6] ->

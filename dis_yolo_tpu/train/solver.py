@@ -111,28 +111,38 @@ class Solver:
         self.rng = jax.random.PRNGKey(seed + 1)
 
     # ------------------------------------------------------------------
-    def validate(self, device_paste: Optional[bool] = None) -> Optional[Dict]:
+    def validate(self, device_paste: Optional[bool] = None,
+                 device_score: Optional[bool] = None) -> Optional[Dict]:
         """Validation sweep via the shared driver (eval/sweep.py).
 
-        ``device_paste`` defaults to on when running on a TPU backend: the
-        on-device crop/resize/paste keeps a real val split every save_iter
-        from making the train loop validation-bound (the host
-        ``detections_to_original`` route costs ~60 ms/image at 576^2).
+        ``device_score`` (default: on for TPU backends) computes the
+        det-vs-GT mask IoU matrix ON DEVICE and fetches only [D,6] boxes +
+        [D,G] floats per image — the GT masks upload once and stay device-
+        resident across sweeps, so a periodic val sweep on a network-
+        attached chip pays ~2.5 KB/img of wire instead of ~1.35 MB/img of
+        packed masks (bit-identical mAP; BENCHMARKS "Validation sweep").
+        ``device_paste`` is the fallback mask-fetching route.
         """
         if self.evaluator is None or self.val_data is None:
             return None
         from dis_yolo_tpu.eval.sweep import run_split
+        on_tpu = jax.default_backend() not in ("cpu", "gpu")
+        if device_score is None:
+            device_score = on_tpu and device_paste is None
         if device_paste is None:
-            device_paste = jax.default_backend() not in ("cpu", "gpu")
+            device_paste = on_tpu and not device_score
         images, names, windows = self.val_data.get()
         variables = {"params": self.state.params,
                      "batch_stats": self.state.batch_stats}
         detdata, t_pred = run_split(
             self.cfg, self.model, variables, images, names, windows,
             device_paste=device_paste, gt_sizes=self.evaluator.gt_sizes,
-            mesh=self.mesh, predict_fn=None if device_paste else self.predict_fn,
+            mesh=self.mesh,
+            predict_fn=None if (device_paste or device_score)
+            else self.predict_fn,
             paste_cache=self._paste_cache,
-            want_semantic=False)   # mAP only — skip the mIoU semantic map
+            want_semantic=False,   # mAP only — skip the mIoU semantic map
+            device_score=device_score, gt_records=self.evaluator.gt_masks)
         result = self.evaluator.evaluate_detections(detdata)
         result["t_device_s"] = t_pred
         return result

@@ -69,6 +69,79 @@ def test_voc_eval_packed_masks_score_identically(rng):
     assert got == want
 
 
+def test_mask_iou_single_exact_vs_popcount(rng):
+    """The on-device IoU matrix (ops/paste.mask_iou_single — the
+    device-score sweep route) must equal the host popcount scorer
+    bit-for-bit: exact 0/1 products, f32 accumulation, counts < 2^24."""
+    import jax.numpy as jnp
+    from dis_yolo_tpu.eval.voc_eval import packed_overlaps
+    from dis_yolo_tpu.ops.paste import mask_iou_single
+
+    h, w, d, g = 29, 45, 6, 5           # w not a multiple of 8: pad bits live
+    det = rng.rand(d, h, w) > 0.5
+    det[3] = False                      # empty detection mask -> IoU 0 row
+    gt = rng.rand(g, h, w) > 0.6
+    gt[:, 0, 0] = True                  # zero-area GTs never occur (filtered
+    #                                     at rasterization, map_eval.py)
+    gt_packed = np.packbits(gt, axis=-1)
+    gt_areas = gt.sum(axis=(1, 2))
+    got = np.asarray(mask_iou_single(jnp.asarray(det), jnp.asarray(gt_packed),
+                                     jnp.asarray(gt_areas.astype(np.float32))))
+    assert got.dtype == np.float32
+    for k in range(d):
+        want = packed_overlaps(np.packbits(det[k], axis=-1), gt_packed,
+                               gt_areas.astype(np.int64))
+        np.testing.assert_array_equal(got[k], want)
+
+
+def test_evaluate_detections_iou_route_matches_packed(rng):
+    """'iou' entries (device-scored sweep) must reproduce the packed-mask
+    route exactly — multi-class GT exercises the per-class column slice."""
+    import jax.numpy as jnp
+    from dis_yolo_tpu.ops.paste import mask_iou_single
+
+    cfg = DISYoloConfig()
+    ev = Evaluator(cfg, "test", annotations=[], index=[])
+    h, w = 33, 41
+    ev.index = ["a", "b"]
+    ev.gt_sizes = {s: (h, w) for s in ev.index}
+    ev.gt_masks = {}
+    for s in ev.index:
+        labels = []
+        for g in range(4):
+            m = rng.rand(h, w) > 0.5
+            m[0, 0] = True
+            labels.append({"imageid": s, "classid": g % 3, "difficult": 0,
+                           "mask": m})
+        ev.gt_masks[s] = labels
+
+    d_count = 6
+    det_packed, det_iou = [], []
+    for i, s in enumerate(ev.index):
+        boxes = np.zeros((d_count, 6), np.float32)
+        full = np.zeros((d_count, h, w), bool)
+        valid = np.zeros((d_count,), bool)
+        for k in range(5):
+            full[k] = (ev.gt_masks[s][k % 4]["mask"]
+                       ^ (rng.rand(h, w) > 0.85))
+            boxes[k, 4] = (k + i) % 3
+            boxes[k, 5] = float(rng.rand())
+            valid[k] = True
+        gtm = np.stack([o["mask"] for o in ev.gt_masks[s]])
+        iou = np.asarray(mask_iou_single(
+            jnp.asarray(full), jnp.asarray(np.packbits(gtm, axis=-1)),
+            jnp.asarray(gtm.sum(axis=(1, 2)).astype(np.float32))))
+        det_packed.append({"imname": s, "boxes": boxes, "valid": valid,
+                           "full_masks_packed": np.packbits(full, axis=-1)})
+        det_iou.append({"imname": s, "boxes": boxes, "valid": valid,
+                        "iou": iou})
+    want = ev.evaluate_detections(det_packed)
+    got = ev.evaluate_detections(det_iou)
+    assert got["AP"] == want["AP"] and got["mAP"] == want["mAP"]
+    assert got["recall"] == want["recall"]
+    assert got["precision"] == want["precision"]
+
+
 def test_correct_yolo_box_identity():
     # image exactly net-sized: inverse letterbox is just scaling
     x1, y1, x2, y2 = correct_yolo_box(0.25, 0.25, 0.75, 0.75, 96, 96, 96, 96)
