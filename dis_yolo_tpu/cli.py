@@ -133,12 +133,22 @@ def cmd_eval(args):
     # compiles are excluded from the timing like the reference's published
     # steady-state number
     from dis_yolo_tpu.eval.sweep import run_split
+    device_score = bool(getattr(args, "device_score", False))
     detdata, t_pred = run_split(
         cfg, model, variables, images, names, windows,
         device_paste=bool(getattr(args, "device_paste", False)),
-        gt_sizes=evaluator.gt_sizes, mesh=mesh, want_semantic=True)
-    res = evaluator.evaluate_detections(detdata, collect_semantic=True)
-    miou = evaluator.miou(res.pop("semantic_maps"))
+        gt_sizes=evaluator.gt_sizes, mesh=mesh, want_semantic=True,
+        device_score=device_score, gt_records=evaluator.gt_masks,
+        gt_semantic=evaluator.gt_semantic if device_score else None)
+    if device_score:
+        # fully device-scored: IoU matrices for mAP + confusion totals for
+        # mIoU came back in the detdata entries — no per-pixel fetch
+        res = evaluator.evaluate_detections(detdata)
+        miou = evaluator.miou_from_confusions(
+            {d["imname"]: d["confusion"] for d in detdata})
+    else:
+        res = evaluator.evaluate_detections(detdata, collect_semantic=True)
+        miou = evaluator.miou(res.pop("semantic_maps"))
     n_timed = max(len(names), 1)
     t_post = res.pop("t_post_s")
     # device-predict vs host crop/assemble split, like the reference's
@@ -399,6 +409,10 @@ def main(argv=None):
     p.add_argument("--device-paste", action="store_true",
                    help="paste masks to original resolution on device "
                         "(replaces the host crop/resize/paste stage)")
+    p.add_argument("--device-score", action="store_true",
+                   help="score entirely on device: det-vs-GT mask IoU "
+                        "matrices + mIoU confusion totals (no per-pixel "
+                        "fetch at all; bit-identical metrics)")
     p.set_defaults(fn=cmd_eval)
 
     p = sub.add_parser("verify-gt", help="render GT verification overlays")

@@ -244,6 +244,24 @@ class Evaluator:
             # one O(H*W) bincount pass per image over joint labels n*t+p
             joint = t.astype(np.int64).ravel() * n + p.astype(np.int64).ravel()
             conf += np.bincount(joint, minlength=n * n).reshape(n, n)
+        return self._iou_from_confusion(conf)
+
+    def miou_from_confusions(self, confusions: Dict[str, np.ndarray]):
+        """mIoU from per-image [n,n] confusion totals computed ON DEVICE
+        (ops/paste.semantic_confusion via the device-score sweep route) —
+        integer-exact, so identical to ``miou`` on the fetched maps while
+        never moving a per-pixel semantic map over the wire."""
+        n = self.cfg.num_class + 1
+        conf = np.zeros((n, n), np.int64)
+        for stem in self.index:
+            c = np.asarray(confusions[stem], np.int64)
+            assert c.shape == (n, n)
+            conf += c
+        return self._iou_from_confusion(conf)
+
+    @staticmethod
+    def _iou_from_confusion(conf: np.ndarray):
+        n = conf.shape[0]
         ious = []
         for c in range(n):
             inter = conf[c, c]

@@ -70,7 +70,8 @@ def run_split(cfg: DISYoloConfig, model, variables, images: np.ndarray,
               timing: Optional[Dict[str, float]] = None,
               want_semantic: bool = True,
               device_score: bool = False,
-              gt_records: Optional[Dict[str, List[Dict]]] = None
+              gt_records: Optional[Dict[str, List[Dict]]] = None,
+              gt_semantic: Optional[Dict[str, np.ndarray]] = None
               ) -> Tuple[List[Dict], float]:
     """Predict a whole split; returns (detdata, device_predict_seconds).
 
@@ -104,17 +105,29 @@ def run_split(cfg: DISYoloConfig, model, variables, images: np.ndarray,
         # removes the mask transfer entirely.  mAP-only: callers needing
         # masks or semantic maps (cli infer/eval mIoU) use device_paste.
         assert gt_sizes is not None and gt_records is not None
-        from dis_yolo_tpu.ops.paste import mask_iou_batch, paste_masks_single
+        from dis_yolo_tpu.ops.paste import (mask_iou_batch,
+                                            merged_semantic_single,
+                                            paste_masks_single,
+                                            semantic_confusion)
+        want_conf = gt_semantic is not None   # device mIoU confusion too
+        n_sem = cfg.num_class + 1
 
         def make_run_scored(h0, w0):
-            def f(variables, imgs, wins, gt_p, gt_a, rows):
+            def f(variables, imgs, wins, gt_p, gt_a, rows, gt_s=None):
                 dets, masks = api.predict(model, variables, imgs, wins)
                 full, valid = jax.vmap(
                     lambda m, d: paste_masks_single(m, d, h0, w0,
                                                     cfg.test_size)
                 )(masks, dets)
                 iou = mask_iou_batch(full, gt_p[rows], gt_a[rows])
-                return dets, valid, iou
+                if gt_s is None:
+                    return dets, valid, iou
+                sem = jax.vmap(merged_semantic_single)(
+                    full, dets[..., 4].astype(jnp.int32), valid)
+                conf = jax.vmap(
+                    lambda p, t: semantic_confusion(p, t, n_sem)
+                )(sem, gt_s[rows])
+                return dets, valid, iou, conf
             return jax.jit(f)
 
         cache = paste_cache if paste_cache is not None else {}
@@ -127,19 +140,28 @@ def run_split(cfg: DISYoloConfig, model, variables, images: np.ndarray,
             if gt_key not in cache:     # one-time GT upload, reused forever
                 cache[gt_key] = _device_gt(gt_records, names, h0, w0, idxs)
             gt_p, gt_a, row_of = cache[gt_key]
-            run_s = cache.get(("score", h0, w0))
+            gt_s = None
+            if want_conf:
+                sem_key = ("__gtsem__", h0, w0)
+                if sem_key not in cache:   # one-time GT-semantic upload
+                    cache[sem_key] = jnp.asarray(np.stack(
+                        [gt_semantic[names[i]] for i in idxs]))
+                gt_s = cache[sem_key]
+            run_s = cache.get(("score", h0, w0, want_conf))
             if run_s is None:
-                run_s = cache[("score", h0, w0)] = make_run_scored(h0, w0)
+                run_s = cache[("score", h0, w0, want_conf)] = \
+                    make_run_scored(h0, w0)
                 warm = _pad_batch(b, images[idxs[:1]], windows[idxs[:1]])
+                wargs = (gt_p, gt_a, jnp.zeros((b,), jnp.int32)) \
+                    + ((gt_s,) if want_conf else ())
                 np.asarray(run_s(variables, jnp.asarray(warm[0]),
-                                 jnp.asarray(warm[1]), gt_p, gt_a,
-                                 jnp.zeros((b,), jnp.int32))[0])
+                                 jnp.asarray(warm[1]), *wargs)[0])
             for v in range(0, len(idxs), b):
                 sel = idxs[v:v + b]
                 rows = [row_of[names[i]] for i in sel]
                 rows = rows + [rows[-1]] * (b - len(rows))   # pad rows too
                 jobs.append((run_s, sel, gt_p, gt_a,
-                             np.asarray(rows, np.int32)))
+                             np.asarray(rows, np.int32), gt_s))
 
         by_name: Dict[str, Dict] = {}
 
@@ -148,19 +170,24 @@ def run_split(cfg: DISYoloConfig, model, variables, images: np.ndarray,
             tf0 = time.time()
             dets, valid, iou = (np.asarray(out[0]), np.asarray(out[1]),
                                 np.asarray(out[2]))
+            conf = np.asarray(out[3]) if len(out) > 3 else None
             if timing is not None:
                 timing["fetch_s"] = (timing.get("fetch_s", 0.)
                                      + time.time() - tf0)
             for i, ix in enumerate(sel):
-                by_name[names[ix]] = {"imname": names[ix], "boxes": dets[i],
-                                      "valid": valid[i], "iou": iou[i]}
+                entry = {"imname": names[ix], "boxes": dets[i],
+                         "valid": valid[i], "iou": iou[i]}
+                if conf is not None:
+                    entry["confusion"] = conf[i]
+                by_name[names[ix]] = entry
 
         t0 = time.time()
         inflight: List = []
-        for run_s, sel, gt_p, gt_a, rows in jobs:
+        for run_s, sel, gt_p, gt_a, rows, gt_s in jobs:
             imgs, wins = _pad_batch(b, images[sel], windows[sel])
+            extra = (gt_s,) if gt_s is not None else ()
             out = run_s(variables, jnp.asarray(imgs), jnp.asarray(wins),
-                        gt_p, gt_a, jnp.asarray(rows))
+                        gt_p, gt_a, jnp.asarray(rows), *extra)
             inflight.append((sel, out))
             if len(inflight) > 2:
                 fetch(inflight.pop(0))

@@ -245,6 +245,27 @@ def mask_iou_batch(full_masks: jnp.ndarray, gt_packed: jnp.ndarray,
     return jax.vmap(mask_iou_single)(full_masks, gt_packed, gt_areas)
 
 
+def semantic_confusion(pred_sem: jnp.ndarray, gt_sem: jnp.ndarray,
+                       n: int) -> jnp.ndarray:
+    """Per-image semantic confusion totals on device: [H,W] x [H,W] ->
+    [n, n] int32 with conf[true, pred] = |{px: gt==true & pred==pred}|.
+
+    One-hot planes contracted on the MXU — 0/1 products are exact and the
+    f32 accumulation stays integer below 2^24 px, so the int32 result is
+    **bit-identical** to the host bincount pass (eval/map_eval.Evaluator
+    .miou, the calculate_test_map.py:304-345 confusion analog).  Fetching
+    [n,n] ints instead of the [H,W] semantic map removes the last
+    per-pixel wire transfer from a fully device-scored eval sweep.
+    """
+    labels = jnp.arange(n, dtype=pred_sem.dtype)
+    t1 = (gt_sem[None] == labels[:, None, None]).reshape(n, -1)    # [n,HW]
+    p1 = (pred_sem[None] == labels[:, None, None]).reshape(n, -1)
+    conf = jnp.einsum("tx,px->tp", t1.astype(jnp.bfloat16),
+                      p1.astype(jnp.bfloat16),
+                      preferred_element_type=jnp.float32)
+    return conf.astype(jnp.int32)
+
+
 def paste_masks_batch(masks: jnp.ndarray, dets: jnp.ndarray,
                       image_h: int, image_w: int, net_size: int):
     """Batched full pipeline tail: [B,D,S,S] + [B,D,6] ->

@@ -72,6 +72,18 @@ def test_eval_device_paste_matches_host(trained, capsys):
     assert dev["miou"] == pytest.approx(host["miou"])
 
 
+def test_eval_device_score_matches_host(trained, capsys):
+    """--device-score (on-device IoU matrices + confusion totals, zero
+    per-pixel fetch) must reproduce the host metrics exactly."""
+    root, data, ck = trained
+    host = _eval_json(capsys, data, ck)
+    dev = _eval_json(capsys, data, ck, "--device-score")
+    np.testing.assert_allclose(dev["AP"], host["AP"], atol=1e-9)
+    np.testing.assert_allclose(dev["iou"], host["iou"], atol=1e-9)
+    assert dev["mAP"] == pytest.approx(host["mAP"])
+    assert dev["miou"] == pytest.approx(host["miou"])
+
+
 def test_infer_writes_overlays(trained):
     root, data, ck = trained
     infer_out = str(root / "infer")

@@ -142,6 +142,43 @@ def test_evaluate_detections_iou_route_matches_packed(rng):
     assert got["precision"] == want["precision"]
 
 
+def test_semantic_confusion_exact_vs_bincount(rng):
+    """The on-device confusion totals (ops/paste.semantic_confusion) must
+    equal the host bincount pass integer-for-integer."""
+    import jax.numpy as jnp
+    from dis_yolo_tpu.ops.paste import semantic_confusion
+
+    n = 4
+    t = rng.randint(0, n, (41, 37)).astype(np.uint8)
+    p = rng.randint(0, n, (41, 37)).astype(np.uint8)
+    got = np.asarray(semantic_confusion(jnp.asarray(p), jnp.asarray(t), n))
+    joint = t.astype(np.int64).ravel() * n + p.astype(np.int64).ravel()
+    want = np.bincount(joint, minlength=n * n).reshape(n, n)
+    assert got.dtype == np.int32
+    np.testing.assert_array_equal(got, want)
+
+
+def test_miou_from_confusions_matches_miou(rng):
+    """Summing device confusion totals == scoring fetched semantic maps."""
+    import jax.numpy as jnp
+    from dis_yolo_tpu.ops.paste import semantic_confusion
+
+    cfg = DISYoloConfig()
+    ev = Evaluator(cfg, "test", with_semantic=True, annotations=[], index=[])
+    n = cfg.num_class + 1
+    ev.index = ["a", "b", "c"]
+    ev.gt_semantic = {s: rng.randint(0, n, (29, 31)).astype(np.uint8)
+                      for s in ev.index}
+    pred = {s: rng.randint(0, n, (29, 31)).astype(np.uint8)
+            for s in ev.index}
+    confs = {s: np.asarray(semantic_confusion(
+        jnp.asarray(pred[s]), jnp.asarray(ev.gt_semantic[s]), n))
+        for s in ev.index}
+    want = ev.miou(pred)
+    got = ev.miou_from_confusions(confs)
+    assert got == want
+
+
 def test_correct_yolo_box_identity():
     # image exactly net-sized: inverse letterbox is just scaling
     x1, y1, x2, y2 = correct_yolo_box(0.25, 0.25, 0.75, 0.75, 96, 96, 96, 96)

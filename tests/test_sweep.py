@@ -99,6 +99,38 @@ def test_device_score_route_matches_device_paste(split, monkeypatch):
     assert got2["AP"] == got["AP"]
 
 
+def test_device_score_confusion_matches_fetched_semantic(split, monkeypatch):
+    """With ``gt_semantic`` provided, the scored route returns per-image
+    device confusion totals whose mIoU equals scoring the device-paste
+    route's fetched semantic maps (the cli eval --device-score path)."""
+    cfg, ev, images, names, windows = split
+    ev.with_semantic = True
+    ev.gt_semantic = {}
+    for nm in names:
+        h, w = ev.gt_sizes[nm]
+        sem = np.zeros((h, w), np.uint8)
+        for o in ev.gt_masks[nm]:
+            sem[o["mask"]] = o["classid"] + 1
+        ev.gt_semantic[nm] = sem
+    monkeypatch.setattr(api, "predict", _fake_predict)
+
+    pasted, _ = run_split(cfg, None, {}, images, names, windows,
+                          device_paste=True, gt_sizes=ev.gt_sizes,
+                          want_semantic=True)
+    res = ev.evaluate_detections(pasted, collect_semantic=True)
+    want = ev.miou(res.pop("semantic_maps"))
+
+    scored, _ = run_split(cfg, None, {}, images, names, windows,
+                          gt_sizes=ev.gt_sizes, device_score=True,
+                          gt_records=ev.gt_masks,
+                          gt_semantic=ev.gt_semantic)
+    got = ev.miou_from_confusions(
+        {d["imname"]: d["confusion"] for d in scored})
+    assert got == want
+    # and the mAP side of the same sweep still matches
+    assert ev.evaluate_detections(scored)["AP"] == res["AP"]
+
+
 def test_device_score_wire_payload_is_tiny(split, monkeypatch):
     """The scored route's per-image fetch is boxes+valid+IoU only — no mask
     bytes.  Guards the route's reason to exist (BENCHMARKS: ~2.5 KB/img vs
