@@ -141,6 +141,12 @@ class Evaluator:
             assert stem == self.index[i]
             h, w = self.gt_sizes[stem]
             if "iou" in det:                  # device-scored IoU matrix
+                if collect_semantic and "confusion" not in det:
+                    raise ValueError(
+                        "collect_semantic: device-scored entries carry no "
+                        "semantic map — use the device_paste/host sweep "
+                        "route, or pass gt_semantic to run_split for "
+                        "device confusion totals (miou_from_confusions)")
                 # sweep route ``device_score``: columns are this image's GT
                 # instances in self.gt_masks order — slice per class so the
                 # row a detection carries lines up with voc_eval's per-class
@@ -251,6 +257,7 @@ class Evaluator:
         (ops/paste.semantic_confusion via the device-score sweep route) —
         integer-exact, so identical to ``miou`` on the fetched maps while
         never moving a per-pixel semantic map over the wire."""
+        assert self.with_semantic, "Evaluator(with_semantic=True) required"
         n = self.cfg.num_class + 1
         conf = np.zeros((n, n), np.int64)
         for stem in self.index:

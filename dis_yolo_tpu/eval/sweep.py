@@ -92,6 +92,13 @@ def run_split(cfg: DISYoloConfig, model, variables, images: np.ndarray,
     {'boxes','valid','iou'} with NO mask fetch at all — the mAP-sweep fast
     path for network-attached chips (GT uploads once into ``paste_cache``
     and stays device-resident across sweeps).
+
+    Timing attribution caveat: in the device_score route the mask scoring
+    (IoU matrix / confusion) is part of the device program, so it lands in
+    the returned device-predict seconds; the device_paste/host routes
+    instead score masks on host inside the evaluator's ``t_post``.  When
+    comparing per-mode timings (cli ms_pred/ms_post, bench_validate),
+    compare TOTALS, not the pred/post split.
     """
     b = cfg.batch_size
     t_pred = 0.0
@@ -144,8 +151,15 @@ def run_split(cfg: DISYoloConfig, model, variables, images: np.ndarray,
             if want_conf:
                 sem_key = ("__gtsem__", h0, w0)
                 if sem_key not in cache:   # one-time GT-semantic upload
-                    cache[sem_key] = jnp.asarray(np.stack(
-                        [gt_semantic[names[i]] for i in idxs]))
+                    # ordered by the cached __gt__ row map (not this call's
+                    # idxs order): the jitted program indexes BOTH stacks
+                    # with the same `rows`, so a persistent cache reused by
+                    # a caller enumerating the same images in a different
+                    # order must not let the two stacks drift (ADVICE r4)
+                    stack = np.zeros((len(row_of), h0, w0), np.uint8)
+                    for i in idxs:
+                        stack[row_of[names[i]]] = gt_semantic[names[i]]
+                    cache[sem_key] = jnp.asarray(stack)
                 gt_s = cache[sem_key]
             run_s = cache.get(("score", h0, w0, want_conf))
             if run_s is None:

@@ -116,8 +116,16 @@ def main():
     out["speedup"] = round(out["host_paste"] / out["device_paste"], 2)
     out["speedup_score"] = round(out["host_paste"] / out["device_score"], 2)
     # device_score computes IoU from the same device-pasted masks the
-    # device_paste route fetches — identical float32 values, so identical mAP
-    assert maps["device_score"] == maps["device_paste"], maps
+    # device_paste route fetches — identical float32 values on TPU/CPU
+    # (preferred_element_type=f32 exact accumulation of 0/1 operands), so
+    # identical mAP.  Report both values on mismatch: a backend whose dot
+    # lowering differs should produce a diagnosable report, not a bare
+    # assert (ADVICE r4).
+    if maps["device_score"] != maps["device_paste"]:
+        raise AssertionError(
+            f"device_score mAP {maps['device_score']!r} != device_paste "
+            f"{maps['device_paste']!r} (expected bit-exact f32 IoU "
+            f"accumulation — backend dot lowering change?)")
     assert abs(maps["host_paste"] - maps["device_paste"]) < 1e-9, maps
     out["mAP_all_routes"] = maps["device_score"]
     print(json.dumps(out))
