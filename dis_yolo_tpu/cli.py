@@ -61,7 +61,8 @@ def cmd_train(args):
 
     locked = tuple(range(1, 53)) if args.stage == 1 else ()
     cfg = _make_cfg(args, locked_layers=locked, max_iter=args.max_iter,
-                    save_iter=args.save_iter, summary_iter=args.summary_iter)
+                    save_iter=args.save_iter, summary_iter=args.summary_iter,
+                    steps_per_dispatch=args.steps_per_dispatch)
     mesh = make_mesh() if args.data_parallel else None
     evaluator = val = None
     if not args.no_validation:
@@ -388,6 +389,10 @@ def main(argv=None):
                    help="converted TF1 weights (.npy) for stage-1 restore")
     p.add_argument("--data-parallel", action="store_true",
                    help="shard batch over all local devices")
+    p.add_argument("--steps-per-dispatch", type=int, default=1,
+                   help="K>1 scans K train steps per device dispatch "
+                        "(amortizes the host-link RTT on network-attached "
+                        "chips; snapped down to a divisor of save-iter)")
     p.add_argument("--no-validation", action="store_true")
     p.set_defaults(fn=cmd_train)
 

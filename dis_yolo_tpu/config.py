@@ -167,6 +167,15 @@ class DISYoloConfig:
     #     (reference parity — TF1 run does not clip).
     skip_nonfinite_updates: bool = True
     grad_clip_norm: float = 0.0
+    # Steps per device dispatch: >1 makes Solver.train advance the model K
+    # steps per host->device round trip (lax.scan of the train step over a
+    # stacked batch block, train/train_step.make_jitted_multi_step).  On a
+    # network-attached chip the per-step dispatch RTT dominated wall clock
+    # (216-258 ms/step vs a 10.65 ms device step for the 576^2 reference
+    # schedule); K amortizes it K-fold with a seed-identical trajectory.
+    # Snapped down to a divisor of save_iter so blocks never straddle a
+    # validation/checkpoint boundary.  1 = the reference's per-step loop.
+    steps_per_dispatch: int = 1
     # Fused Pallas NMS kernel (suppression matrix VMEM-resident).  Exact
     # parity with the jnp path and ~10% faster; off by default because the
     # serial select-rounds dominate either way.

@@ -28,6 +28,15 @@ def batch_sharding(mesh: Mesh, axis_name: str = "dp") -> NamedSharding:
     return NamedSharding(mesh, P(axis_name))
 
 
+def stacked_batch_sharding(mesh: Mesh, axis_name: str = "dp") -> NamedSharding:
+    """Shard dim 1 (batch) of a ``[K, B, ...]`` K-step block over the mesh.
+
+    Dim 0 is the steps-per-dispatch axis consumed by ``lax.scan`` inside
+    ``make_jitted_multi_step`` — it stays unsharded so each scan slice is a
+    normally dp-sharded batch."""
+    return NamedSharding(mesh, P(None, axis_name))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

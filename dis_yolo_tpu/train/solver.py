@@ -109,6 +109,12 @@ class Solver:
                                                   dp_axis=cfg.dp_axis)
         self._paste_cache: Dict = {}   # per-size pasted programs, compile once
         self.rng = jax.random.PRNGKey(seed + 1)
+        # best-validation tracking (automates the reference's keep-all +
+        # val_map manual peak selection, train_yolo3_mask.py:58,221-227);
+        # survives restore="auto" resumes via best.json
+        best = ckpt.read_best(self.ckpt_dir)
+        self.best_step = best["step"] if best else None
+        self.best_map = best["mAP"] if best else -1.0
 
     # ------------------------------------------------------------------
     def validate(self, device_paste: Optional[bool] = None,
@@ -148,6 +154,37 @@ class Solver:
         return result
 
     # ------------------------------------------------------------------
+    def _at_save(self, step: int, start: int, max_iter: int,
+                 record_loss: float, load_timer: Timer, train_timer: Timer):
+        """validate + checkpoint + val-history cadence (shared by the
+        per-step and the K-steps-per-dispatch loops)."""
+        cfg = self.cfg
+        result = self.validate()
+        if result is not None:
+            if result["mAP"] >= self.best_map:
+                self.best_map, self.best_step = result["mAP"], step
+                ckpt.mark_best(self.ckpt_dir, step, result["mAP"])
+            if ckpt.is_primary():
+                self.logger.log_validation(step, self.data.epoch,
+                                           record_loss, result)
+                # epoch log line incl. ETA (train_yolo3_mask.py:185-202)
+                done = step - start + 1
+                print(f"Step {step} epoch {self.data.epoch} "
+                      f"loss {record_loss:.3f} "
+                      f"AP {['%.3f' % a for a in result['AP']]} "
+                      f"mAP50 {result['mAP']:.3f} "
+                      f"best {self.best_map:.3f}@{self.best_step} "
+                      f"speed {train_timer.total_time / done:.3f}s/it "
+                      f"load {load_timer.total_time / done:.3f}s/it "
+                      f"remain {train_timer.remain(done, max_iter - start + 1)}")
+        ckpt.save_checkpoint(self.ckpt_dir, self.state, step)
+        ckpt.prune_checkpoints(
+            self.ckpt_dir, cfg.max_keep_ckpt,
+            protect=(self.best_step,) if self.best_step else ())
+        if ckpt.is_primary():
+            self.logger.save_val_history(self.loss_dir, step)
+
+    # ------------------------------------------------------------------
     def train(self, max_iter: Optional[int] = None):
         from dis_yolo_tpu.utils.runtime import device_prefetch
         cfg = self.cfg
@@ -159,6 +196,12 @@ class Solver:
         start = int(self.state.step) + 1
         if start > max_iter:
             return self.state
+        if cfg.steps_per_dispatch > 1:
+            state = self._train_blocks(start, max_iter, load_timer,
+                                       train_timer)
+            self.data.stop()
+            ckpt.wait_for_checkpoints()
+            return state
         # host loader thread -> async device transfers two batches ahead
         # so upload overlaps the previous step's compute
         sharding = None
@@ -203,26 +246,95 @@ class Solver:
                 self.logger.log(step, row)
 
             if step % cfg.save_iter == 0:
-                record_loss = float(epoch_loss) / max(epoch_count, 1)
-                result = self.validate()
-                if result is not None and ckpt.is_primary():
-                    self.logger.log_validation(step, self.data.epoch,
-                                               record_loss, result)
-                    # epoch log line incl. ETA (train_yolo3_mask.py:185-202)
-                    done = step - start + 1
-                    print(f"Step {step} epoch {self.data.epoch} "
-                          f"loss {record_loss:.3f} "
-                          f"AP {['%.3f' % a for a in result['AP']]} "
-                          f"mAP50 {result['mAP']:.3f} "
-                          f"speed {train_timer.average_time:.3f}s/it "
-                          f"load {load_timer.average_time:.3f}s/it "
-                          f"remain {train_timer.remain(done, max_iter - start + 1)}")
+                self._at_save(step, start, max_iter,
+                              float(epoch_loss) / max(epoch_count, 1),
+                              load_timer, train_timer)
                 epoch_loss, epoch_count = 0.0, 0
-                ckpt.save_checkpoint(self.ckpt_dir, self.state, step)
-                ckpt.prune_checkpoints(self.ckpt_dir, cfg.max_keep_ckpt)
-                if ckpt.is_primary():
-                    self.logger.save_val_history(self.loss_dir, step)
 
         self.data.stop()
         ckpt.wait_for_checkpoints()  # drain the async save before returning
+        return self.state
+
+    # ------------------------------------------------------------------
+    def _train_blocks(self, start: int, max_iter: int,
+                      load_timer: Timer, train_timer: Timer):
+        """Dispatch-amortized loop: K train steps per host->device dispatch.
+
+        One compiled ``lax.scan`` block advances K steps over K stacked
+        device-prefetched batches (train_step.make_jitted_multi_step), so
+        the per-step host cost collapses from (dispatch RTT + host-side
+        RNG split + transfer handshake) to 1/K of one block dispatch —
+        the fix for the 216-258 ms/step wall vs 10.65 ms device step of
+        the round-4 reference-schedule run.  Seed-for-seed identical
+        trajectory to the per-step loop
+        (tests/test_train_step.py::test_multi_step_matches_single).
+
+        K = ``cfg.steps_per_dispatch``, snapped down to a divisor of
+        ``save_iter`` so no block straddles a validation/checkpoint
+        boundary; the tail to ``max_iter`` (if shorter) compiles one
+        extra, shorter block shape.
+        """
+        from dis_yolo_tpu.train import train_step as ts
+        from dis_yolo_tpu.utils.runtime import device_prefetch
+        cfg = self.cfg
+        K = max(1, cfg.steps_per_dispatch)
+        while cfg.save_iter % K:
+            K -= 1
+        if K != cfg.steps_per_dispatch and ckpt.is_primary():
+            print(f"steps_per_dispatch {cfg.steps_per_dispatch} -> {K} "
+                  f"(snapped to a divisor of save_iter {cfg.save_iter})")
+
+        sharding = None
+        if self.mesh is not None:
+            from dis_yolo_tpu.parallel.sharding import stacked_batch_sharding
+            sharding = stacked_batch_sharding(self.mesh, cfg.dp_axis)
+
+        def blocks():
+            todo = max_iter - start + 1
+            while todo > 0:
+                m = min(K, todo)
+                bats = [self.data.next_prefetched() for _ in range(m)]
+                todo -= m
+                yield {k: np.stack([b[k] for b in bats]) for k in bats[0]}
+
+        batches = device_prefetch(blocks(), size=2, sharding=sharding)
+        multi_fn = ts.make_jitted_multi_step(self.model, self.tx,
+                                             mesh=self.mesh,
+                                             dp_axis=cfg.dp_axis, donate=True)
+        epoch_loss, epoch_count = 0.0, 0
+        step = start - 1
+        while step < max_iter:
+            load_timer.tic()
+            block = next(batches)
+            load_timer.toc()
+            train_timer.tic()
+            self.state, self.rng, metrics = multi_fn(self.state, block,
+                                                     self.rng)
+            train_timer.toc()
+            m = int(metrics["total_loss"].shape[0])
+            first, step = step + 1, step + m
+            # stacked [m] metrics stay on device; one sum per block
+            epoch_loss = epoch_loss + metrics["total_loss"].sum()
+            epoch_count += m
+
+            log_steps = [s for s in range(first, step + 1)
+                         if s % cfg.summary_iter == 0]
+            if log_steps and ckpt.is_primary():
+                rows = {k: np.asarray(v) for k, v in metrics.items()}
+                skipped = (int(self.state.opt_state.total_notfinite)
+                           if hasattr(self.state.opt_state,
+                                      "total_notfinite") else None)
+                for s in log_steps:
+                    row = {k: float(v[s - first]) for k, v in rows.items()}
+                    if skipped is not None:
+                        # block-tail cumulative count (per-step resolution
+                        # would need K host syncs — the thing K removes)
+                        row["skipped_nonfinite"] = skipped
+                    self.logger.log(s, row)
+
+            if step % cfg.save_iter == 0:
+                self._at_save(step, start, max_iter,
+                              float(epoch_loss) / max(epoch_count, 1),
+                              load_timer, train_timer)
+                epoch_loss, epoch_count = 0.0, 0
         return self.state

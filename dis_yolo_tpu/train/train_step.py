@@ -285,37 +285,13 @@ def train_step(state: TrainState, batch, key, model: DISYolo,
     return TrainState(new_params, new_stats, new_opt, state.step + 1), metrics
 
 
-def make_jitted_train_step(model: DISYolo, tx: optax.GradientTransformation,
-                           mesh: Mesh = None, dp_axis: str = "dp",
-                           donate: bool = False):
-    """Compile the train step.
+def _build_step_fn(model: DISYolo, tx: optax.GradientTransformation,
+                   mesh: Mesh = None, dp_axis: str = "dp"):
+    """Unjitted ``(state, batch, key) -> (state, metrics)`` step callable.
 
-    ``donate=True`` donates the input ``TrainState`` buffers to the
-    update (params / Adam moments / BN stats are written in place instead
-    of double-buffered — ~2x less optimizer-state HBM).  The caller's
-    state arrays are dead after the call, so only enable it for a
-    ``state = step(state, ...)`` loop (the Solver does); parity tests
-    that compare old vs new params must keep the default.
-
-    The mesh variant is explicit SPMD: the whole step (forward, backward,
-    optimizer) runs per-device under ``shard_map`` with the batch sharded
-    over ``dp_axis``, and the module contains exactly ONE unordered
-    collective — a single pmean of the flattened (grads, metrics) vector.
-    BatchNorm moments are pmean'd inside the forward (sync-BN via
-    ``cfg.bn_axis``), which keeps training semantics identical to a single
-    device computing the global batch; those collectives form a data-
-    dependency chain through the network, so they can never be reordered
-    against each other.
-
-    Why not GSPMD auto-partitioning (round-2 design): the partitioner
-    emits one all-reduce per parameter gradient — ~50 collectives with no
-    mutual data dependencies.  XLA:CPU's in-process collective runtime
-    executes thunks out of order (SplitReadyQueue), so two virtual devices
-    can block at *different* rendezvous and deadlock — which is exactly
-    what the driver's 8-virtual-device dry run hit on a 1-core host.  On
-    real TPU meshes the single fused gradient all-reduce is also the
-    bandwidth-optimal shape (one launch, full ICI payload) rather than ~50
-    small ones.
+    Shared by ``make_jitted_train_step`` (one step per dispatch) and
+    ``make_jitted_multi_step`` (K steps per dispatch under ``lax.scan``);
+    see the former for the full design notes on the mesh variant.
     """
     cfg = model.cfg
     if cfg.device_side_augs:
@@ -333,7 +309,7 @@ def make_jitted_train_step(model: DISYolo, tx: optax.GradientTransformation,
                 return base_step(state, batch, kb)
         else:
             step_fn = base_step
-        return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+        return step_fn
 
     from jax.flatten_util import ravel_pytree
 
@@ -379,5 +355,93 @@ def make_jitted_train_step(model: DISYolo, tx: optax.GradientTransformation,
         keys = jax.random.split(key, batch["images"].shape[0])
         return sharded(state, batch, keys, akey)
 
-    return jax.jit(sharded_step, out_shardings=NamedSharding(mesh, P()),
-                   donate_argnums=(0,) if donate else ())
+    return sharded_step
+
+
+def make_jitted_train_step(model: DISYolo, tx: optax.GradientTransformation,
+                           mesh: Mesh = None, dp_axis: str = "dp",
+                           donate: bool = False):
+    """Compile the train step.
+
+    ``donate=True`` donates the input ``TrainState`` buffers to the
+    update (params / Adam moments / BN stats are written in place instead
+    of double-buffered — ~2x less optimizer-state HBM).  The caller's
+    state arrays are dead after the call, so only enable it for a
+    ``state = step(state, ...)`` loop (the Solver does); parity tests
+    that compare old vs new params must keep the default.
+
+    The mesh variant is explicit SPMD: the whole step (forward, backward,
+    optimizer) runs per-device under ``shard_map`` with the batch sharded
+    over ``dp_axis``, and the module contains exactly ONE unordered
+    collective — a single pmean of the flattened (grads, metrics) vector.
+    BatchNorm moments are pmean'd inside the forward (sync-BN via
+    ``cfg.bn_axis``), which keeps training semantics identical to a single
+    device computing the global batch; those collectives form a data-
+    dependency chain through the network, so they can never be reordered
+    against each other.
+
+    Why not GSPMD auto-partitioning (round-2 design): the partitioner
+    emits one all-reduce per parameter gradient — ~50 collectives with no
+    mutual data dependencies.  XLA:CPU's in-process collective runtime
+    executes thunks out of order (SplitReadyQueue), so two virtual devices
+    can block at *different* rendezvous and deadlock — which is exactly
+    what the driver's 8-virtual-device dry run hit on a 1-core host.  On
+    real TPU meshes the single fused gradient all-reduce is also the
+    bandwidth-optimal shape (one launch, full ICI payload) rather than ~50
+    small ones.
+    """
+    step_fn = _build_step_fn(model, tx, mesh=mesh, dp_axis=dp_axis)
+    kw = dict(donate_argnums=(0,) if donate else ())
+    if mesh is not None:
+        kw["out_shardings"] = NamedSharding(mesh, P())
+    return jax.jit(step_fn, **kw)
+
+
+def make_jitted_multi_step(model: DISYolo, tx: optax.GradientTransformation,
+                           mesh: Mesh = None, dp_axis: str = "dp",
+                           donate: bool = True):
+    """K-steps-per-dispatch training block: ``lax.scan`` of the train step.
+
+    The reference hot loop — and round 1-4 of this rebuild — dispatches one
+    step per Python iteration (``sess.run`` at train_yolo3_mask.py:158/216).
+    On a network-attached chip every dispatch pays the host link RTT plus a
+    host-side ``jax.random.split``, which measured 20-24x the 10.65 ms
+    device step (BENCHMARKS "Reference schedule").  This variant compiles
+    ONE program that advances K steps over a stacked batch block:
+
+      ``(state, batches[K,B,...], rng) -> (state, rng, metrics[K])``
+
+    * RNG parity: the scan body performs ``rng, key = jax.random.split(rng)``
+      per step — the exact host-side protocol of ``Solver.train`` — so the
+      K-block trajectory reproduces the per-step path seed-for-seed.
+    * The compact wire format stays compact in HBM: ``prepare_batch``
+      (uint8 -> f32, bit-unpack) runs inside each scan iteration, so only
+      one step's expanded batch is ever live.
+    * Metrics come back stacked ``[K]`` per key — one host fetch per block
+      serves every ``summary_iter`` log row inside it.
+    * Donation: state and the carried rng are donated (their buffers match
+      the outputs one-for-one, so XLA updates them in place).  The batch
+      block is NOT donated — a [K,B,...] input matches no output shape, so
+      its donation could never be honored; its buffers die with the host
+      reference after the call anyway.
+
+    K is implicit in the leading dim of ``batches`` (one compile per
+    distinct block length; the Solver snaps K to divide ``save_iter`` so
+    only the final sub-``save_iter`` tail can add a second shape).
+    """
+    step_fn = _build_step_fn(model, tx, mesh=mesh, dp_axis=dp_axis)
+
+    def multi(state, batches, rng):
+        def body(carry, bat):
+            st, r = carry
+            r, key = jax.random.split(r)
+            st, metrics = step_fn(st, bat, key)
+            return (st, r), metrics
+
+        (state, rng), metrics = jax.lax.scan(body, (state, rng), batches)
+        return state, rng, metrics
+
+    kw = dict(donate_argnums=(0, 2) if donate else ())
+    if mesh is not None:
+        kw["out_shardings"] = (NamedSharding(mesh, P()),) * 3
+    return jax.jit(multi, **kw)

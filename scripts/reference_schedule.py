@@ -111,6 +111,10 @@ def main():
                          "backbone we cannot download; the first 576^2 "
                          "attempt without clipping spiked to NaN at stage-1 "
                          "step ~4.5k — PARITY.md deviation #8)")
+    ap.add_argument("--k", type=int, default=50,
+                    help="steps per device dispatch (lax.scan block; 1 = "
+                         "the round-4 per-step loop that measured 216-258 "
+                         "ms/step wall vs a 10.65 ms device step)")
     args = ap.parse_args()
     enable_compilation_cache()
     ensure_data(args.root, args.train_images, args.val_images)
@@ -124,9 +128,10 @@ def main():
     base = dict(dataset=args.root, image_size=args.size, test_size=args.size,
                 batch_size=args.batch, mask_stride=args.stride,
                 summary_iter=50, save_iter=500, grad_clip_norm=args.clip,
-                device_side_augs=True, max_keep_ckpt=3)
+                device_side_augs=True, max_keep_ckpt=3,
+                steps_per_dispatch=args.k)
     summary = {"stride": args.stride, "size": args.size, "batch": args.batch,
-               "grad_clip_norm": args.clip,
+               "grad_clip_norm": args.clip, "steps_per_dispatch": args.k,
                "schedule": {"pretrain": args.pretrain_steps,
                             "stage1": s1_steps, "stage2": s2_steps,
                             "s2_lr_boundaries": list(s2_bounds)}}
@@ -167,19 +172,27 @@ def main():
 
     summary["total_wall_s_this_window"] = round(time.time() - t_all, 1)
 
-    # ---- final eval on the val split with the deployed predict ----
-    import jax
-    cfg_eval = cfg2
-    model = api.create_model(cfg_eval)
-    v = api.init_variables(cfg_eval, jax.random.PRNGKey(0))
-    p, bs = ckpt.restore_weights(summary["stage2"]["ckpt"], v["params"],
-                                 v["batch_stats"])
-    solver_eval = Solver(cfg_eval, evaluator=Evaluator(cfg_eval, "val"),
-                         val_data=DefectValData(cfg_eval, "val"),
-                         restore=summary["stage2"]["ckpt"])
-    result = solver_eval.validate()
-    summary["final_val"] = {"mAP": result["mAP"], "AP": list(result["AP"])}
-    solver_eval.data.stop()
+    # ---- final + best-checkpoint eval on the val split ----
+    # the reference dumps val_map so the user hand-picks the peak-val
+    # checkpoint for deployment (train_yolo3_mask.py:58,221-227); the
+    # Solver tracks it automatically (best.json + prune protection), so
+    # report BOTH the final state and the deployable best state.
+    s2_ckpt_dir = os.path.join(cfg2.output_dir, "checkpoint")
+    evaluator = Evaluator(cfg2, "val")
+    val_data = DefectValData(cfg2, "val")
+    for tag_eval, ck in (("final_val", summary["stage2"]["ckpt"]),
+                         ("best_val", ckpt.best_checkpoint(s2_ckpt_dir))):
+        if ck is None:
+            continue
+        solver_eval = Solver(cfg2, evaluator=evaluator, val_data=val_data,
+                             restore=ck)
+        result = solver_eval.validate()
+        summary[tag_eval] = {"ckpt": ck, "mAP": result["mAP"],
+                             "AP": list(result["AP"])}
+        solver_eval.data.stop()
+    best = ckpt.read_best(s2_ckpt_dir)
+    if best:
+        summary["best_tracked"] = best
 
     out = os.path.join(args.root, f"ref_schedule_summary_{tag}.json")
     with open(out, "w") as f:

@@ -50,6 +50,29 @@ def test_dp_train_step_matches_single_device(small_cfg, mesh):
                                    rtol=5e-2, atol=3e-3)
 
 
+def test_multi_step_block_on_mesh(small_cfg, mesh):
+    """K=2 dispatch-amortized block over the DP mesh: the scanned
+    shard_map step compiles, executes, and advances the step counter.
+    (Trajectory parity vs the per-step path is proven single-device in
+    test_train_step.py::test_multi_step_matches_single.)"""
+    from tests.test_train_step import make_batch
+    cfg = small_cfg
+    model = api.create_model(cfg)
+    v = api.init_variables(cfg, jax.random.PRNGKey(0))
+    tx = ts.make_optimizer(v["params"], cfg)
+    st = ts.TrainState(v["params"], v["batch_stats"],
+                       tx.init(v["params"]), jnp.asarray(0))
+    st = sharding.replicate(mesh, st)
+    block = {k: jnp.stack([b, b])
+             for k, b in make_batch(cfg, b=8).items()}
+    block = jax.device_put(block, sharding.stacked_batch_sharding(mesh))
+    multi = ts.make_jitted_multi_step(model, tx, mesh=mesh, donate=False)
+    st2, rng2, metrics = multi(st, block, jax.random.PRNGKey(5))
+    assert int(st2.step) == 2
+    assert metrics["total_loss"].shape == (2,)
+    assert np.isfinite(np.asarray(metrics["total_loss"])).all()
+
+
 def test_spatial_forward_matches_unsharded(small_cfg):
     """Height-sharded conv stack == single-device result (halo exchange)."""
     cfg = small_cfg

@@ -110,3 +110,28 @@ def test_decode_non_square_resolution(small_cfg, rng):
     assert out[0].shape[1:3] == (8, 16)     # stride 8
     assert out[2].shape[1:3] == (2, 4)      # stride 32
     assert out[3].shape[1:3] == (32, 64)    # stride 2 score maps
+
+
+@pytest.mark.quick
+def test_best_checkpoint_tracking_and_prune_protection(tmp_path):
+    """best.json round-trip + prune keeps the protected best step alive
+    (the automated analog of the reference's keep-all + manual val_map
+    peak selection, train_yolo3_mask.py:58,221-227)."""
+    import os
+    from dis_yolo_tpu.train import checkpoint as ckpt
+
+    d = str(tmp_path / "ckpt")
+    os.makedirs(d)
+    for s in (500, 1000, 1500, 2000, 2500):
+        os.makedirs(os.path.join(d, f"step_{s:08d}"))
+    assert ckpt.read_best(d) is None and ckpt.best_checkpoint(d) is None
+    ckpt.mark_best(d, 1000, 0.796)
+    assert ckpt.read_best(d) == {"step": 1000, "mAP": 0.796}
+    assert ckpt.best_checkpoint(d).endswith("step_00001000")
+
+    ckpt.prune_checkpoints(d, keep=2, protect=(1000,))
+    left = sorted(x for x in os.listdir(d) if x.startswith("step_"))
+    assert left == ["step_00001000", "step_00002000", "step_00002500"]
+    # best dir deleted out-of-band -> best_checkpoint degrades to None
+    ckpt.prune_checkpoints(d, keep=1)
+    assert ckpt.best_checkpoint(d) is None

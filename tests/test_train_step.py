@@ -237,6 +237,81 @@ def test_donated_state_loop(setup):
     assert int(state.step) == 2
 
 
+def test_multi_step_matches_single(setup):
+    """The K-steps-per-dispatch scan block reproduces the per-step loop
+    seed-for-seed: same per-step key sequence (carried RNG equals the
+    Solver's host-side split protocol, bit-exact), same step math (step-1
+    loss matches to float precision) and the same 4-step trajectory.
+
+    Numerics of the comparison (measured on the 8-virtual-CPU host): a
+    K=1 scan block reproduces the single step's loss AND BN stats
+    BIT-EXACTLY, but the scan body's bf16 backward fuses differently, so
+    gradients (Adam moments) carry bf16 noise and params move apart by
+    ~2x LR per step.  Any nonzero param perturbation then flips bf16
+    rounding boundaries in later forwards, fuzzing subsequent losses by
+    ~0.2% regardless of how small the perturbation is.  Hence: LR 1e-8
+    keeps the param trajectories tight (asserted to ~1e-6), while the
+    metric trajectory is asserted only to the inherent bf16 noise
+    floor.  The mechanism under test (Adam + lock masking + BN-stat
+    carry + per-step key protocol) is fully exercised."""
+    cfg, model, v = setup
+    tx = ts.make_optimizer(v["params"], cfg.replace(lr_values=(1e-8,) * 4))
+
+    def fresh():
+        params = jax.tree.map(jnp.array, v["params"])
+        stats = jax.tree.map(jnp.array, v["batch_stats"])
+        return ts.TrainState(params, stats, tx.init(params), jnp.asarray(0))
+
+    batches = [make_batch(cfg, seed=i) for i in range(4)]
+
+    # per-step path with the Solver's host RNG protocol
+    step = ts.make_jitted_train_step(model, tx)
+    rng = jax.random.PRNGKey(7)
+    st, singles = fresh(), []
+    for b in batches:
+        rng, key = jax.random.split(rng)
+        st, m = step(st, b, key)
+        singles.append(float(m["total_loss"]))
+
+    # one K=4 block
+    multi = ts.make_jitted_multi_step(model, tx, donate=False)
+    stacked = {k: jnp.stack([b[k] for b in batches]) for k in batches[0]}
+    st2, rng2, metrics = multi(fresh(), stacked, jax.random.PRNGKey(7))
+
+    assert int(st2.step) == 4
+    np.testing.assert_array_equal(np.asarray(rng2), np.asarray(rng))
+    losses = np.asarray(metrics["total_loss"])
+    np.testing.assert_allclose(losses[0], singles[0], rtol=2e-5)
+    np.testing.assert_allclose(losses, np.asarray(singles), rtol=1e-2)
+    for a, b in zip(jax.tree.leaves(st.params), jax.tree.leaves(st2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(st.batch_stats),
+                    jax.tree.leaves(st2.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=1e-4)
+
+
+def test_multi_step_donates_state(setup):
+    """donate=True (the Solver default) invalidates the input state and
+    supports consecutive blocks of different length (save-window tail)."""
+    cfg, model, v = setup
+    tx = ts.make_optimizer(v["params"], cfg)
+    params = jax.tree.map(jnp.array, v["params"])
+    stats = jax.tree.map(jnp.array, v["batch_stats"])
+    state = ts.TrainState(params, stats, tx.init(params), jnp.asarray(0))
+    first_param = jax.tree.leaves(state.params)[0]
+    multi = ts.make_jitted_multi_step(model, tx, donate=True)
+    rng = jax.random.PRNGKey(3)
+    b2 = {k: jnp.stack([v_, v_]) for k, v_ in make_batch(cfg).items()}
+    state, rng, m = multi(state, b2, rng)
+    assert first_param.is_deleted()
+    b1 = {k: v_[None] for k, v_ in make_batch(cfg, seed=1).items()}
+    state, rng, m = multi(state, b1, rng)   # shorter tail block recompiles
+    assert int(state.step) == 3
+    assert np.isfinite(float(m["total_loss"][-1]))
+
+
 def test_reference_lr_schedule():
     sched = ts.reference_lr_schedule
     assert float(sched(jnp.asarray(1))) == pytest.approx(1e-3)
