@@ -60,9 +60,13 @@ def cmd_train(args):
     from dis_yolo_tpu.train.solver import Solver
 
     locked = tuple(range(1, 53)) if args.stage == 1 else ()
+    extra = {}
+    if getattr(args, "device_corpus", False):
+        # pixels live in HBM; requires the device-side aug path
+        extra.update(device_corpus=True, device_side_augs=True)
     cfg = _make_cfg(args, locked_layers=locked, max_iter=args.max_iter,
                     save_iter=args.save_iter, summary_iter=args.summary_iter,
-                    steps_per_dispatch=args.steps_per_dispatch)
+                    steps_per_dispatch=args.steps_per_dispatch, **extra)
     mesh = make_mesh() if args.data_parallel else None
     evaluator = val = None
     if not args.no_validation:
@@ -393,6 +397,11 @@ def main(argv=None):
                    help="K>1 scans K train steps per device dispatch "
                         "(amortizes the host-link RTT on network-attached "
                         "chips; snapped down to a divisor of save-iter)")
+    p.add_argument("--device-corpus", action="store_true",
+                   help="upload the decoded dataset to device memory once "
+                        "and assemble batches on device; the host ships "
+                        "only ~1 KB/step of indices + placement decisions "
+                        "(implies device-side augs)")
     p.add_argument("--no-validation", action="store_true")
     p.set_defaults(fn=cmd_train)
 

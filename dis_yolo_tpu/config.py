@@ -176,6 +176,12 @@ class DISYoloConfig:
     # Snapped down to a divisor of save_iter so blocks never straddle a
     # validation/checkpoint boundary.  1 = the reference's per-step loop.
     steps_per_dispatch: int = 1
+    # Device-resident corpus: the decoded dataset (images + instance
+    # masks) lives in HBM; the host ships only example indices + placement
+    # decisions (~1 KB/step instead of ~4.7 MB).  Pixel assembly (resize/
+    # place, label-grid scatter) runs inside the jitted step
+    # (data/device_corpus.py).  Requires device_side_augs.
+    device_corpus: bool = False
     # Fused Pallas NMS kernel (suppression matrix VMEM-resident).  Exact
     # parity with the jnp path and ~10% faster; off by default because the
     # serial select-rounds dominate either way.

@@ -221,6 +221,51 @@ def _read_image(imname: str) -> np.ndarray:
     return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
 
 
+def sample_placement(rng: np.random.RandomState, iw: int, ih: int, net: int,
+                     boxes: np.ndarray) -> Tuple[int, int, int, int, int]:
+    """Draw the scale/crop placement for one example (RNG-order canonical).
+
+    Exactly the draw sequence of the reference's per-item body
+    (train_data.py:86-132): one scale_crop coin, then (branch 2 only) the
+    AR-jitter/scale/offset uniforms, then the keep-all-defects rejection
+    that falls back to the centered letterbox when any GT box would be
+    cut.  Shared by ``build_example`` (host pixel path) and the
+    device-corpus param sampler (data/device_corpus.py) so both paths
+    consume an identical RNG stream and make identical decisions.
+    """
+    sc, new_w, new_h, dx, dy = augment.sample_scale_crop(rng, iw, ih, net, net)
+    if sc == 2 and len(boxes):
+        sx, sy = new_w / iw, new_h / ih
+        x1 = boxes[:, 0] * sx + dx
+        y1 = boxes[:, 1] * sy + dy
+        x2 = boxes[:, 2] * sx + dx
+        y2 = boxes[:, 3] * sy + dy
+        if (x1.min() < 0 or y1.min() < 0 or
+                x2.max() >= net or y2.max() >= net):
+            sc = 1
+            new_w, new_h, dx, dy = augment.identity_placement(iw, ih, net, net)
+    return sc, new_w, new_h, dx, dy
+
+
+def boxes_to_net(boxes: np.ndarray, classids: np.ndarray, t: int,
+                 new_w: int, new_h: int, dx: int, dy: int, iw: int, ih: int,
+                 net: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Placed + clamped (cx, cy, w, h) boxes in net pixels
+    (train_data.py:135-147).  Returns (true_box [t,5], boxes_net [n,4])."""
+    sx, sy = new_w / iw, new_h / ih
+    tb = np.zeros((t, 5), np.float32)
+    boxes_net = np.zeros((len(boxes), 4), np.float32)
+    for n in range(len(boxes)):
+        x1 = max(min(boxes[n, 0] * sx + dx, net - 1), 0)
+        y1 = max(min(boxes[n, 1] * sy + dy, net - 1), 0)
+        x2 = max(min(boxes[n, 2] * sx + dx, net - 1), 0)
+        y2 = max(min(boxes[n, 3] * sy + dy, net - 1), 0)
+        boxes_net[n] = [(x1 + x2) / 2, (y1 + y2) / 2, x2 - x1, y2 - y1]
+        tb[n, :4] = boxes_net[n]
+        tb[n, 4] = classids[n]
+    return tb, boxes_net
+
+
 def build_example(cfg: DISYoloConfig, label: Dict,
                   rng: np.random.RandomState, host_augs: bool,
                   mask_cache: Optional[MaskCache] = None,
@@ -266,30 +311,11 @@ def build_example(cfg: DISYoloConfig, label: Dict,
     masks = masks[keep]
 
     # ---- aug 1: random scale/crop, rejected if any box gets cut ----
-    sc, new_w, new_h, dx, dy = augment.sample_scale_crop(rng, iw, ih, net, net)
-    if sc == 2 and len(boxes):
-        sx, sy = new_w / iw, new_h / ih
-        x1 = boxes[:, 0] * sx + dx
-        y1 = boxes[:, 1] * sy + dy
-        x2 = boxes[:, 2] * sx + dx
-        y2 = boxes[:, 3] * sy + dy
-        if (x1.min() < 0 or y1.min() < 0 or
-                x2.max() >= net or y2.max() >= net):
-            sc = 1
-            new_w, new_h, dx, dy = augment.identity_placement(iw, ih, net, net)
-    sx, sy = new_w / iw, new_h / ih
+    sc, new_w, new_h, dx, dy = sample_placement(rng, iw, ih, net, boxes)
 
     # boxes -> clamped (cx, cy, w, h) in net pixels (train_data.py:135-147)
-    tb = np.zeros((t, 5), np.float32)
-    boxes_net = np.zeros((len(boxes), 4), np.float32)
-    for n in range(len(boxes)):
-        x1 = max(min(boxes[n, 0] * sx + dx, net - 1), 0)
-        y1 = max(min(boxes[n, 1] * sy + dy, net - 1), 0)
-        x2 = max(min(boxes[n, 2] * sx + dx, net - 1), 0)
-        y2 = max(min(boxes[n, 3] * sy + dy, net - 1), 0)
-        boxes_net[n] = [(x1 + x2) / 2, (y1 + y2) / 2, x2 - x1, y2 - y1]
-        tb[n, :4] = boxes_net[n]
-        tb[n, 4] = classids[n]
+    tb, boxes_net = boxes_to_net(boxes, classids, t, new_w, new_h, dx, dy,
+                                 iw, ih, net)
 
     grids = assign_anchors(boxes_net, classids, cfg)
 

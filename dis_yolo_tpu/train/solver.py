@@ -46,8 +46,19 @@ class Solver:
         self.mesh = mesh
         # with device-side augs the host loader must not also flip /
         # photometric (they'd apply twice)
+        self.device_corpus = None
         if data is not None:
             self.data = data
+        elif cfg.device_corpus:
+            # decoded dataset uploads to HBM once; the loader ships only
+            # indices + placement decisions (data/device_corpus.py)
+            from dis_yolo_tpu.data.device_corpus import (CorpusTrainData,
+                                                         upload_corpus)
+            assert mesh is None, (
+                "device_corpus currently targets the single-device train "
+                "loop; use the wire loader (device_corpus=False) on a mesh")
+            self.data = CorpusTrainData(cfg, "train", seed=seed)
+            self.device_corpus = upload_corpus(self.data.corpus)
         elif cfg.loader_workers:
             from dis_yolo_tpu.data.dataset import ParallelTrainData
             workers = (None if cfg.loader_workers < 0 else cfg.loader_workers)
@@ -196,7 +207,9 @@ class Solver:
         start = int(self.state.step) + 1
         if start > max_iter:
             return self.state
-        if cfg.steps_per_dispatch > 1:
+        if cfg.steps_per_dispatch > 1 or self.device_corpus is not None:
+            # the corpus path always runs blocked (K=1 degenerates fine):
+            # its assemble-on-device step only exists in the block program
             state = self._train_blocks(start, max_iter, load_timer,
                                        train_timer)
             self.data.stop()
@@ -298,9 +311,17 @@ class Solver:
                 yield {k: np.stack([b[k] for b in bats]) for k in bats[0]}
 
         batches = device_prefetch(blocks(), size=2, sharding=sharding)
-        multi_fn = ts.make_jitted_multi_step(self.model, self.tx,
-                                             mesh=self.mesh,
-                                             dp_axis=cfg.dp_axis, donate=True)
+        if self.device_corpus is not None:
+            corpus_fn = ts.make_jitted_corpus_multi_step(self.model, self.tx,
+                                                         donate=True)
+
+            def multi_fn(state, block, rng):
+                return corpus_fn(state, self.device_corpus, block, rng)
+        else:
+            multi_fn = ts.make_jitted_multi_step(self.model, self.tx,
+                                                 mesh=self.mesh,
+                                                 dp_axis=cfg.dp_axis,
+                                                 donate=True)
         epoch_loss, epoch_count = 0.0, 0
         step = start - 1
         while step < max_iter:

@@ -445,3 +445,35 @@ def make_jitted_multi_step(model: DISYolo, tx: optax.GradientTransformation,
     if mesh is not None:
         kw["out_shardings"] = (NamedSharding(mesh, P()),) * 3
     return jax.jit(multi, **kw)
+
+
+def make_jitted_corpus_multi_step(model: DISYolo,
+                                  tx: optax.GradientTransformation,
+                                  donate: bool = True):
+    """K-step block over a DEVICE-RESIDENT corpus (data/device_corpus.py).
+
+    ``(state, corpus, params[K,...], rng) -> (state, rng, metrics[K])``
+
+    Same scan protocol as ``make_jitted_multi_step`` (per-step
+    ``jax.random.split`` for seed parity with the host-driven loop), but
+    each scan iteration assembles its batch ON DEVICE from the resident
+    corpus — the host ships ~1 KB of indices + placement decisions per
+    step instead of megabytes of pixels, so the wall floor is the device
+    step, not the host link.  The corpus argument is NOT donated: it is
+    read every step and survives across blocks.
+    """
+    from dis_yolo_tpu.data.device_corpus import make_assemble_fn
+    assemble = make_assemble_fn(model.cfg)
+    step_fn = _build_step_fn(model, tx, mesh=None)
+
+    def multi(state, corpus, params, rng):
+        def body(carry, p):
+            st, r = carry
+            r, key = jax.random.split(r)
+            st, metrics = step_fn(st, assemble(corpus, p), key)
+            return (st, r), metrics
+
+        (state, rng), metrics = jax.lax.scan(body, (state, rng), params)
+        return state, rng, metrics
+
+    return jax.jit(multi, donate_argnums=(0, 3) if donate else ())

@@ -57,14 +57,15 @@ class LapTimer(Timer):
         self.laps.append(self.diff)
 
 
-def run_once(args, k: int) -> dict:
+def run_once(args, k: int, corpus: bool = False) -> dict:
     cfg = DISYoloConfig(
         dataset=args.root, image_size=args.size, test_size=args.size,
         batch_size=args.batch, mask_stride=args.stride,
         summary_iter=50, save_iter=args.save_iter, grad_clip_norm=10.0,
         device_side_augs=True, max_keep_ckpt=3, steps_per_dispatch=k,
+        device_corpus=corpus,
         lr_boundaries=(args.steps,), lr_values=(1e-3, 1e-3),
-        output_dir=os.path.join(args.root, f"out_k{k}"),
+        output_dir=os.path.join(args.root, f"out_{'c' if corpus else ''}k{k}"),
     )
     LapTimer.REGISTRY.clear()
     solver_mod.Timer = LapTimer           # instrument the loop's own timers
@@ -102,6 +103,7 @@ def run_once(args, k: int) -> dict:
                 losses.append(rec["total_loss"])
     return {
         "k_requested": k, "k_effective": k_eff, "steps": args.steps,
+        "device_corpus": corpus,
         "wall_s": round(wall, 1),
         "wall_ms_per_step": round(wall / args.steps * 1e3, 2),
         "train_dispatch_s": round(train_total, 1),
@@ -155,12 +157,14 @@ def main():
 
     report = {"size": args.size, "batch": args.batch, "stride": args.stride,
               "steps": args.steps, "runs": []}
-    ks = [int(x) for x in args.ks.split(",")]
-    report["upload_floor"] = probe_upload_floor(args, max(ks))
+    ks = args.ks.split(",")   # "1,50,c50" — 'c' prefix = device corpus
+    report["upload_floor"] = probe_upload_floor(
+        args, max(int(str(k).lstrip("c")) for k in ks))
     print("upload floor:", json.dumps(report["upload_floor"]), flush=True)
 
     for k in ks:
-        r = run_once(args, k)
+        r = run_once(args, int(str(k).lstrip("c")),
+                     corpus=str(k).startswith("c"))
         report["runs"].append(r)
         print(f"k={k}: wall {r['wall_ms_per_step']} ms/step "
               f"(train {r['train_ms_per_step_steady']}, "
