@@ -182,6 +182,10 @@ class DISYoloConfig:
     # place, label-grid scatter) runs inside the jitted step
     # (data/device_corpus.py).  Requires device_side_augs.
     device_corpus: bool = False
+    # Commute the decoder's 1x1 fusion convs before their 2x nearest
+    # upsample (exact algebra, same params; layers.CommutedConcatConvBN).
+    # Off = the reference's literal resize->concat->conv graph order.
+    decoder_commute: bool = False
     # Fused Pallas NMS kernel (suppression matrix VMEM-resident).  Exact
     # parity with the jnp path and ~10% faster; off by default because the
     # serial select-rounds dominate either way.

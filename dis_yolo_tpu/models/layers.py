@@ -22,6 +22,7 @@ from __future__ import annotations
 from typing import Any
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 BN_MOMENTUM = 0.997
@@ -122,3 +123,67 @@ def upsample2x_nearest(x: jnp.ndarray) -> jnp.ndarray:
     x = x[:, :, None, :, None, :]
     x = jnp.broadcast_to(x, (b, h, 2, w, 2, c))
     return x.reshape(b, 2 * h, 2 * w, c)
+
+
+class _SplitConcatConv(nn.Module):
+    """1x1 conv over a virtual ``concat([skip, up2(small)])`` without ever
+    materializing it: the kernel is split row-wise and the ``small``
+    branch's conv runs BEFORE the upsample (1x1 convs commute with
+    nearest-neighbor duplication).  Parameter path/shape (``kernel``
+    [1,1,cs+cu,features]) is identical to the ``nn.Conv`` the concat form
+    would create, so checkpoints are interchangeable."""
+
+    features: int
+    cin: int
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, skip: jnp.ndarray, small: jnp.ndarray) -> jnp.ndarray:
+        kernel = self.param("kernel", nn.initializers.xavier_uniform(),
+                            (1, 1, self.cin, self.features), self.param_dtype)
+        k = kernel.astype(self.dtype)
+        cs = skip.shape[-1]
+        dn = ("NHWC", "HWIO", "NHWC")
+        out_s = jax.lax.conv_general_dilated(
+            skip.astype(self.dtype), k[:, :, :cs], (1, 1), "SAME",
+            dimension_numbers=dn)
+        out_u = jax.lax.conv_general_dilated(
+            small.astype(self.dtype), k[:, :, cs:], (1, 1), "SAME",
+            dimension_numbers=dn)
+        return out_s + upsample2x_nearest(out_u)
+
+
+class CommutedConcatConvBN(nn.Module):
+    """ConvBN over ``concat([skip, up2(small)])`` with the 1x1 commuted
+    before the upsample — measured 7.2x faster than the materialized
+    concat form at 288^2 on v5e (scripts/probe_decoder.py; the concat is
+    pure memory traffic and the up-branch conv runs at quarter
+    resolution).  Bit-compatible parameters with the ConvBN it replaces
+    (conv/kernel + bn/*); mathematically exact commute, so outputs agree
+    to accumulation-order ULPs (tests/test_model_variants.py)."""
+
+    features: int
+    cin: int
+    act: bool = True
+    alpha: float = 0.1
+    lock: bool = False
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+    bn_axis: Any = None
+
+    @nn.compact
+    def __call__(self, skip: jnp.ndarray, small: jnp.ndarray,
+                 train: bool = False) -> jnp.ndarray:
+        x = _SplitConcatConv(self.features, self.cin, dtype=self.dtype,
+                             param_dtype=self.param_dtype,
+                             name="conv")(skip, small)
+        x = nn.BatchNorm(
+            use_running_average=(not train) or self.lock,
+            momentum=BN_MOMENTUM, epsilon=BN_EPS, axis_name=self.bn_axis,
+            dtype=jnp.float32, param_dtype=jnp.float32, name="bn",
+        )(x.astype(jnp.float32))
+        x = x.astype(self.dtype)
+        if self.act:
+            x = leaky_relu(x, self.alpha)
+        return x

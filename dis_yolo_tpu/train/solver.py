@@ -189,9 +189,12 @@ class Solver:
                       f"load {load_timer.total_time / done:.3f}s/it "
                       f"remain {train_timer.remain(done, max_iter - start + 1)}")
         ckpt.save_checkpoint(self.ckpt_dir, self.state, step)
+        # protect the step just saved too: its async write may still be in
+        # flight, and stale higher-numbered dirs (e.g. an output_dir reused
+        # across runs) would otherwise age it out mid-write
         ckpt.prune_checkpoints(
             self.ckpt_dir, cfg.max_keep_ckpt,
-            protect=(self.best_step,) if self.best_step else ())
+            protect=(step,) + ((self.best_step,) if self.best_step else ()))
         if ckpt.is_primary():
             self.logger.save_val_history(self.loss_dir, step)
 

@@ -67,6 +67,10 @@ def run_once(args, k: int, corpus: bool = False) -> dict:
         lr_boundaries=(args.steps,), lr_values=(1e-3, 1e-3),
         output_dir=os.path.join(args.root, f"out_{'c' if corpus else ''}k{k}"),
     )
+    # fresh output dir: stale checkpoints/metrics from a previous bench run
+    # would poison the trajectory log and the pruning window
+    import shutil
+    shutil.rmtree(cfg.output_dir, ignore_errors=True)
     LapTimer.REGISTRY.clear()
     solver_mod.Timer = LapTimer           # instrument the loop's own timers
     try:

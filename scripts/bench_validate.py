@@ -128,6 +128,39 @@ def main():
             f"accumulation — backend dot lowering change?)")
     assert abs(maps["host_paste"] - maps["device_paste"]) < 1e-9, maps
     out["mAP_all_routes"] = maps["device_score"]
+
+    # ---- the FULL cli-eval scope, fully device-scored: mAP + 4-class
+    # mIoU with confusion totals computed on device (ops/paste.
+    # semantic_confusion) — no per-pixel fetch.  The host-path equality
+    # of these confusions is pinned by tests/test_sweep.py::
+    # test_device_score_confusion_matches_fetched_semantic; here we time
+    # it at scale (VERDICT r4 next #4; reference scope
+    # calculate_test_map.py:203-345).
+    ev_sem = Evaluator(cfg, "val", with_semantic=True)
+    warm_cache = {}
+    run_split(cfg, solver.model, variables, images, names, windows,
+              device_score=True, gt_records=ev_sem.gt_masks,
+              gt_sizes=ev_sem.gt_sizes, gt_semantic=ev_sem.gt_semantic,
+              paste_cache=warm_cache, want_semantic=False)   # compile+GT up
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        detdata, t_pred = run_split(
+            cfg, solver.model, variables, images, names, windows,
+            device_score=True, gt_records=ev_sem.gt_masks,
+            gt_sizes=ev_sem.gt_sizes, gt_semantic=ev_sem.gt_semantic,
+            paste_cache=warm_cache, want_semantic=False)
+        res = ev_sem.evaluate_detections(detdata)
+        miou = ev_sem.miou_from_confusions(
+            {d["imname"]: d["confusion"] for d in detdata})
+        times.append(time.time() - t0)
+    t = min(times)
+    out["device_score_full_eval"] = round(t, 3)
+    out["device_score_full_eval_ms_per_img"] = round(t / args.images * 1e3, 1)
+    out["miou"] = miou["miou"]
+    print(f"device_score full eval (mAP+mIoU): {t:.3f} s "
+          f"= {t / args.images * 1e3:.1f} ms/img  miou {miou['miou']:.3f}",
+          flush=True)
     print(json.dumps(out))
     solver.data.stop()
 

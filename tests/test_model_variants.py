@@ -110,3 +110,30 @@ def test_piecewise_lr_schedule_matches_reference(small_cfg):
     assert float(s2(jnp.asarray(10))) == pytest.approx(1e-2)
     assert float(s2(jnp.asarray(11))) == pytest.approx(1e-3)
     assert float(s2(jnp.asarray(21))) == pytest.approx(1e-4)
+
+
+@pytest.mark.quick
+@pytest.mark.parametrize("stride", [2, 1])
+def test_decoder_commute_matches_concat_form(stride):
+    """cfg.decoder_commute runs the decoder's 1x1 fusion convs before the
+    2x nearest upsample (layers.CommutedConcatConvBN) — exact algebra and
+    an identical parameter tree, so the SAME variables drive both graphs
+    and the outputs agree to accumulation-order ULPs."""
+    cfg = DISYoloConfig(image_size=96, mask_stride=stride)
+    cfg_c = cfg.replace(decoder_commute=True)
+    model = api.create_model(cfg)
+    model_c = api.create_model(cfg_c)
+    v = api.init_variables(cfg, jax.random.PRNGKey(0))
+    v_c = api.init_variables(cfg_c, jax.random.PRNGKey(0))
+    # identical parameter trees (paths AND initial values)
+    jax.tree.map(np.testing.assert_array_equal, v["params"], v_c["params"])
+
+    x = jnp.asarray(np.random.RandomState(3).rand(1, 96, 96, 3), jnp.float32)
+    base = api.forward(model, v, x)
+    comm = api.forward(model_c, v, x)       # same variables, commuted graph
+    for b, c in zip(base, comm):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(c),
+                                   rtol=2e-2, atol=6e-3)
+    # scoremaps (f32 head) agree tightly
+    np.testing.assert_allclose(np.asarray(base[3]), np.asarray(comm[3]),
+                               rtol=2e-2, atol=6e-3)

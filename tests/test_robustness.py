@@ -135,3 +135,22 @@ def test_best_checkpoint_tracking_and_prune_protection(tmp_path):
     # best dir deleted out-of-band -> best_checkpoint degrades to None
     ckpt.prune_checkpoints(d, keep=1)
     assert ckpt.best_checkpoint(d) is None
+
+
+@pytest.mark.quick
+def test_prune_protects_current_step_against_stale_dirs(tmp_path):
+    """A reused output_dir can hold STALE higher-numbered checkpoints;
+    pruning right after saving step 500 must not age out the step just
+    written (its async Orbax write may still be in flight — observed as a
+    FileNotFoundError inside the tmp dir mid-run).  The Solver therefore
+    always passes the current step in ``protect`` (solver._at_save)."""
+    import os
+    from dis_yolo_tpu.train import checkpoint as ckpt
+
+    d = str(tmp_path / "ckpt")
+    os.makedirs(d)
+    for s in (500, 1000, 1500, 2000):      # 500 = new save, rest = stale
+        os.makedirs(os.path.join(d, f"step_{s:08d}"))
+    ckpt.prune_checkpoints(d, keep=3, protect=(500,))
+    left = sorted(x for x in os.listdir(d) if x.startswith("step_"))
+    assert "step_00000500" in left
