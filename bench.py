@@ -57,7 +57,9 @@ def main() -> None:
 
     enable_compilation_cache()   # repeat runs skip the multi-minute compile
 
-    cfg = DISYoloConfig()
+    # decoder_commute: exact-algebra decoder fusion (1x1 before upsample),
+    # measured 1.985 -> 1.908 ms forward at 576^2 (BENCHMARKS round 5)
+    cfg = DISYoloConfig(decoder_commute=True)
     model = api.create_model(cfg)
     variables = api.init_variables(cfg, jax.random.PRNGKey(0))
     variables = fold_batchnorm(model, variables)

@@ -278,6 +278,12 @@ def convert_tf1_checkpoint(ckpt_path: str) -> Dict[str, np.ndarray]:
     from dis_yolo_tpu.train.tensorbundle import read_tensor_bundle
     if os.path.isfile(ckpt_path + ".index"):
         return read_tensor_bundle(ckpt_path)
+    if not os.path.isfile(ckpt_path):
+        # fail fast with the real problem before the V1 fallback can
+        # surface TensorFlow's opaque TensorSliceReader error
+        raise FileNotFoundError(
+            f"{ckpt_path}: no such checkpoint — expected a TensorBundle "
+            f"(V2) pair ({ckpt_path}.index + .data-*) or a V1 single file")
     try:  # V1 single-file checkpoints only (pre-2017 TF) — optional TF path
         from tensorflow.python.training import py_checkpoint_reader
         reader = py_checkpoint_reader.NewCheckpointReader(ckpt_path)

@@ -54,11 +54,16 @@ class Solver:
             # indices + placement decisions (data/device_corpus.py)
             from dis_yolo_tpu.data.device_corpus import (CorpusTrainData,
                                                          upload_corpus)
-            assert mesh is None, (
-                "device_corpus currently targets the single-device train "
-                "loop; use the wire loader (device_corpus=False) on a mesh")
             self.data = CorpusTrainData(cfg, "train", seed=seed)
-            self.device_corpus = upload_corpus(self.data.corpus)
+            sharding = None
+            if mesh is not None:
+                # read-only dataset: replicate across the mesh; each
+                # device assembles only its batch shard (GSPMD constraint
+                # in make_jitted_corpus_multi_step)
+                from dis_yolo_tpu.parallel.sharding import replicated
+                sharding = replicated(mesh)
+            self.device_corpus = upload_corpus(self.data.corpus,
+                                               sharding=sharding)
         elif cfg.loader_workers:
             from dis_yolo_tpu.data.dataset import ParallelTrainData
             workers = (None if cfg.loader_workers < 0 else cfg.loader_workers)
@@ -315,8 +320,9 @@ class Solver:
 
         batches = device_prefetch(blocks(), size=2, sharding=sharding)
         if self.device_corpus is not None:
-            corpus_fn = ts.make_jitted_corpus_multi_step(self.model, self.tx,
-                                                         donate=True)
+            corpus_fn = ts.make_jitted_corpus_multi_step(
+                self.model, self.tx, mesh=self.mesh, dp_axis=cfg.dp_axis,
+                donate=True)
 
             def multi_fn(state, block, rng):
                 return corpus_fn(state, self.device_corpus, block, rng)

@@ -342,10 +342,16 @@ def _build_step_fn(model: DISYolo, tx: optax.GradientTransformation,
         return (TrainState(new_params, new_stats, new_opt, state.step + 1),
                 metrics)
 
+    # check_vma=False: the device-side augment path closes over constant
+    # tables (motion-blur kernels, HLS LUTs) inside lax.switch branches;
+    # jax's varying-manual-axes checker rejects those invariant constants
+    # meeting dp-varying operands (pvary error) even though the math is
+    # per-device and correct.  The rest of the step was authored under the
+    # checker and keeps exactly ONE collective (the fused pmean below).
     sharded = jax.shard_map(
         local_step, mesh=mesh,
         in_specs=(P(), P(dp_axis), P(dp_axis), P()),
-        out_specs=(P(), P()))
+        out_specs=(P(), P()), check_vma=False)
 
     def sharded_step(state, batch, key):
         if cfg.device_side_augs:
@@ -449,6 +455,7 @@ def make_jitted_multi_step(model: DISYolo, tx: optax.GradientTransformation,
 
 def make_jitted_corpus_multi_step(model: DISYolo,
                                   tx: optax.GradientTransformation,
+                                  mesh: Mesh = None, dp_axis: str = "dp",
                                   donate: bool = True):
     """K-step block over a DEVICE-RESIDENT corpus (data/device_corpus.py).
 
@@ -461,19 +468,35 @@ def make_jitted_corpus_multi_step(model: DISYolo,
     step instead of megabytes of pixels, so the wall floor is the device
     step, not the host link.  The corpus argument is NOT donated: it is
     read every step and survives across blocks.
+
+    Mesh variant: the corpus is replicated (every device holds the
+    dataset — it is read-only and a few hundred MB), the per-step param
+    arrays shard over ``dp_axis`` with the batch, and assembly runs under
+    GSPMD (sharding constraints pin its outputs to the batch sharding) so
+    each device gathers and assembles only ITS examples before the
+    ``shard_map`` train step consumes them.
     """
     from dis_yolo_tpu.data.device_corpus import make_assemble_fn
     assemble = make_assemble_fn(model.cfg)
-    step_fn = _build_step_fn(model, tx, mesh=None)
+    step_fn = _build_step_fn(model, tx, mesh=mesh, dp_axis=dp_axis)
 
     def multi(state, corpus, params, rng):
         def body(carry, p):
             st, r = carry
             r, key = jax.random.split(r)
-            st, metrics = step_fn(st, assemble(corpus, p), key)
+            batch = assemble(corpus, p)
+            if mesh is not None:
+                shard = NamedSharding(mesh, P(dp_axis))
+                batch = jax.tree.map(
+                    lambda x: jax.lax.with_sharding_constraint(x, shard),
+                    batch)
+            st, metrics = step_fn(st, batch, key)
             return (st, r), metrics
 
         (state, rng), metrics = jax.lax.scan(body, (state, rng), params)
         return state, rng, metrics
 
-    return jax.jit(multi, donate_argnums=(0, 3) if donate else ())
+    kw = dict(donate_argnums=(0, 3) if donate else ())
+    if mesh is not None:
+        kw["out_shardings"] = (NamedSharding(mesh, P()),) * 3
+    return jax.jit(multi, **kw)

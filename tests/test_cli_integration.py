@@ -128,11 +128,14 @@ def test_verify_gt_renders(trained):
     assert len(os.listdir(os.path.join(data, "train", "verify"))) == 2
 
 
-def test_convert_tf1_requires_tensorflow(trained):
-    """Without tensorflow in the env the converter must fail with the
-    actionable message (checkpoint.py:136-146), not a bare ImportError."""
+def test_convert_tf1_missing_ckpt_fails_fast(trained):
+    """V2 (TensorBundle) checkpoints are read natively with no TensorFlow
+    (train/tensorbundle.py, tests/test_tensorbundle.py).  A missing path
+    must fail fast with a clear FileNotFoundError naming the expected
+    layout — not fall through to the V1 path and surface TensorFlow's
+    opaque TensorSliceReader error (checkpoint.py)."""
     root, data, ck = trained
-    with pytest.raises(RuntimeError, match="TensorFlow is required"):
+    with pytest.raises(FileNotFoundError, match="no such checkpoint"):
         main(["convert-tf1", "--ckpt", str(root / "nonexistent.ckpt"),
               "--out", str(root / "w.npy")])
 

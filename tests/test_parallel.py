@@ -393,3 +393,40 @@ def test_2d_mesh_dp_x_sp_train_step(small_cfg):
     for a, b in zip(jax.tree.leaves(s_a.params), jax.tree.leaves(s_b.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-2, atol=3e-3)
+
+
+def test_corpus_multi_step_on_mesh(tmp_path):
+    """K=2 device-corpus block over the DP mesh: replicated corpus,
+    batch-sharded placement params, GSPMD assembly feeding the shard_map
+    step.  (Assembly parity vs the host loader is proven in
+    tests/test_device_corpus.py; here: compiles, runs, finite.)"""
+    from dis_yolo_tpu.data.preprocess import build_ground_truth_cache
+    from dis_yolo_tpu.data.synthetic import generate_dataset
+    from dis_yolo_tpu.data.device_corpus import (CorpusTrainData,
+                                                 upload_corpus)
+    root = str(tmp_path / "data")
+    generate_dataset(root, phases=("train",), images_per_phase=8,
+                     image_size=160, seed=2)
+    build_ground_truth_cache(root, "train")
+    cfg = DISYoloConfig(dataset=root, image_size=96, test_size=96,
+                        batch_size=8, pre_nms_top_k=64,
+                        device_side_augs=True, device_corpus=True)
+    mesh = sharding.make_mesh()
+    model = api.create_model(cfg)
+    v = api.init_variables(cfg, jax.random.PRNGKey(0))
+    tx = ts.make_optimizer(v["params"], cfg)
+    st = ts.TrainState(v["params"], v["batch_stats"],
+                       tx.init(v["params"]), jnp.asarray(0))
+    st = sharding.replicate(mesh, st)
+
+    data = CorpusTrainData(cfg, "train", seed=4)
+    corpus = upload_corpus(data.corpus, sharding=sharding.replicated(mesh))
+    bats = [data._make_batch() for _ in range(2)]
+    block = {k: np.stack([b[k] for b in bats]) for k in bats[0]}
+    block = jax.device_put(block, sharding.stacked_batch_sharding(mesh))
+
+    multi = ts.make_jitted_corpus_multi_step(model, tx, mesh=mesh,
+                                             donate=False)
+    st2, rng2, metrics = multi(st, corpus, block, jax.random.PRNGKey(5))
+    assert int(st2.step) == 2
+    assert np.isfinite(np.asarray(metrics["total_loss"])).all()
