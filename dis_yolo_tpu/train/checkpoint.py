@@ -49,6 +49,8 @@ def _checkpointer() -> ocp.StandardCheckpointer:
 
 def wait_for_checkpoints() -> None:
     """Block until every async save has committed to disk."""
+    for fut in list(_PENDING):
+        fut.result()
     if _CKPTR is not None:
         _CKPTR.wait_until_finished()
 
@@ -63,6 +65,52 @@ def _sync(tag: str) -> None:
     if jax.process_count() > 1:
         from jax.experimental import multihost_utils
         multihost_utils.sync_global_devices(tag)
+
+
+_SAVE_POOL = None
+_PENDING: list = []
+
+
+def save_checkpoint_background(ckpt_dir: str, state, step: int) -> str:
+    """Snapshot-then-save: checkpoint WITHOUT blocking the train loop on
+    the device->host state copy.
+
+    Orbax's async saver still blocks the caller until the full TrainState
+    has been copied off-device — on a network-attached chip that copy is
+    the save interval's dominant term (396 MB at tunnel rates = 13-30 s
+    measured, BENCHMARKS round 5).  Here the state is first cloned ON
+    DEVICE (device-to-device, milliseconds, and it decouples the saved
+    values from the live buffers the donated train step will overwrite),
+    then a single background worker thread runs the ordinary
+    ``save_checkpoint`` — its d2h copy rides the link WHILE subsequent
+    train blocks execute (in corpus mode the loop ships ~1 KB/step, so
+    the link is otherwise idle).  Single-process only: the multi-host
+    path keeps the synchronous call because Orbax's coordination barriers
+    must run on the main thread of every process.
+
+    The reference has no analog — ``tf.train.Saver.save`` is fully
+    synchronous (train_yolo3_mask.py:208).
+    """
+    if jax.process_count() > 1:
+        return save_checkpoint(ckpt_dir, state, step)
+    global _SAVE_POOL
+    if _SAVE_POOL is None:
+        import concurrent.futures
+        _SAVE_POOL = concurrent.futures.ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="ckpt_save")
+    snap = jax.tree.map(
+        lambda x: jnp_copy(x) if hasattr(x, "devices") else x, state)
+    path = os.path.join(os.path.abspath(ckpt_dir), f"step_{step:08d}")
+    fut = _SAVE_POOL.submit(save_checkpoint, ckpt_dir, snap, step, True)
+    _PENDING.append(fut)
+    fut.add_done_callback(lambda f: _PENDING.remove(f))
+    return path
+
+
+def jnp_copy(x):
+    """Device-side clone (new buffers, same device/sharding)."""
+    import jax.numpy as jnp
+    return jnp.array(x, copy=True)
 
 
 def save_checkpoint(ckpt_dir: str, state, step: int, wait: bool = False) -> str:

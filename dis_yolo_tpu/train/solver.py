@@ -193,7 +193,11 @@ class Solver:
                       f"speed {train_timer.total_time / done:.3f}s/it "
                       f"load {load_timer.total_time / done:.3f}s/it "
                       f"remain {train_timer.remain(done, max_iter - start + 1)}")
-        ckpt.save_checkpoint(self.ckpt_dir, self.state, step)
+        # snapshot-then-background-save: the 396 MB device->host state
+        # copy (13-30 s on the tunnel) overlaps the next train blocks
+        # instead of stalling the loop (single-process; multi-host falls
+        # back to the coordinated synchronous save inside)
+        ckpt.save_checkpoint_background(self.ckpt_dir, self.state, step)
         # protect the step just saved too: its async write may still be in
         # flight, and stale higher-numbered dirs (e.g. an output_dir reused
         # across runs) would otherwise age it out mid-write

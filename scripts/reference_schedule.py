@@ -115,6 +115,10 @@ def main():
                     help="steps per device dispatch (lax.scan block; 1 = "
                          "the round-4 per-step loop that measured 216-258 "
                          "ms/step wall vs a 10.65 ms device step)")
+    ap.add_argument("--corpus", action="store_true",
+                    help="device-resident corpus: decoded dataset lives in "
+                         "HBM, batches assemble on device, the host ships "
+                         "~1 KB/step (cfg.device_corpus; round 5)")
     args = ap.parse_args()
     enable_compilation_cache()
     ensure_data(args.root, args.train_images, args.val_images)
@@ -129,9 +133,10 @@ def main():
                 batch_size=args.batch, mask_stride=args.stride,
                 summary_iter=50, save_iter=500, grad_clip_norm=args.clip,
                 device_side_augs=True, max_keep_ckpt=3,
-                steps_per_dispatch=args.k)
+                steps_per_dispatch=args.k, device_corpus=args.corpus)
     summary = {"stride": args.stride, "size": args.size, "batch": args.batch,
                "grad_clip_norm": args.clip, "steps_per_dispatch": args.k,
+               "device_corpus": args.corpus,
                "schedule": {"pretrain": args.pretrain_steps,
                             "stage1": s1_steps, "stage2": s2_steps,
                             "s2_lr_boundaries": list(s2_bounds)}}

@@ -154,3 +154,33 @@ def test_prune_protects_current_step_against_stale_dirs(tmp_path):
     ckpt.prune_checkpoints(d, keep=3, protect=(500,))
     left = sorted(x for x in os.listdir(d) if x.startswith("step_"))
     assert "step_00000500" in left
+
+
+@pytest.mark.quick
+def test_background_save_snapshots_before_mutation(tmp_path):
+    """save_checkpoint_background clones the state ON DEVICE before the
+    background thread's device->host copy, so a train loop that donates
+    (overwrites) the live buffers right after the call cannot corrupt the
+    checkpoint.  Restored values must equal the state AT save time."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from dis_yolo_tpu.train import checkpoint as ckpt
+    from dis_yolo_tpu.train.train_step import TrainState
+
+    d = str(tmp_path / "ckpt")
+    params = {"w": jnp.arange(8, dtype=jnp.float32)}
+    state = TrainState(params, {"bn": jnp.ones(3)}, {"m": jnp.zeros(8)},
+                       jnp.asarray(7))
+    ckpt.save_checkpoint_background(d, state, 500)
+    # simulate the donated in-place update: rebind to NEW different values
+    state = TrainState({"w": jnp.full(8, -1.0)}, {"bn": jnp.zeros(3)},
+                       {"m": jnp.ones(8)}, jnp.asarray(8))
+    ckpt.wait_for_checkpoints()
+    template = TrainState({"w": jnp.zeros(8)}, {"bn": jnp.zeros(3)},
+                          {"m": jnp.zeros(8)}, jnp.asarray(0))
+    restored = ckpt.restore_checkpoint(
+        ckpt.latest_checkpoint(d), template)
+    np.testing.assert_array_equal(np.asarray(restored.params["w"]),
+                                  np.arange(8, dtype=np.float32))
+    assert int(restored.step) == 7
