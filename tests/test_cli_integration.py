@@ -148,3 +148,26 @@ def test_eval_quant_runs(trained, capsys):
     q = _eval_json(capsys, data, ck, "--quant")
     assert 0.0 <= q["mAP"] <= 1.0 and 0.0 <= q["miou"] <= 1.0
     assert abs(q["miou"] - host["miou"]) < 0.2
+
+
+def test_train_device_corpus_cli(trained):
+    """cli train --device-corpus --steps-per-dispatch: the corpus-mode
+    K-block loop runs through the CLI surface — checkpoints land on the
+    save_iter cadence and metrics log every summary step, exactly like
+    the wire loader path."""
+    root, data, ck = trained
+    out = str(root / "out_corpus")
+    main(["train", "--dataset", data, "--image-size", "64",
+          "--batch-size", "2", "--max-iter", "4", "--save-iter", "2",
+          "--summary-iter", "2", "--stage", "1", "--output-dir", out,
+          "--device-corpus", "--steps-per-dispatch", "2",
+          "--no-validation"])
+    cks = sorted(d for d in os.listdir(os.path.join(out, "checkpoint"))
+                 if d.startswith("step_"))
+    assert cks == ["step_00000002", "step_00000004"]
+    rows = [json.loads(l) for l in
+            open(os.path.join(out, "checkpoint", "train_metrics.jsonl"))]
+    steps = [r["step"] for r in rows if r.get("kind") == "train"]
+    assert steps == [2, 4]
+    assert all(np.isfinite(r["total_loss"])
+               for r in rows if r.get("kind") == "train")
