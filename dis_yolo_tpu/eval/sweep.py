@@ -138,6 +138,14 @@ def run_split(cfg: DISYoloConfig, model, variables, images: np.ndarray,
             return jax.jit(f)
 
         cache = paste_cache if paste_cache is not None else {}
+        # device-resident val images: a periodic sweep re-uploads the whole
+        # split every save_iter otherwise (~1.3 MB/img on the wire).  Keyed
+        # by host-array identity so a caller passing a different split can
+        # never be served stale pixels.
+        img_entry = cache.get("__imgs__")
+        if img_entry is None or img_entry[0] is not images:
+            img_entry = cache["__imgs__"] = (images, jnp.asarray(images))
+        img_dev = img_entry[1]
         groups: Dict[Tuple[int, int], List[int]] = {}
         for i, nm in enumerate(names):
             groups.setdefault(tuple(gt_sizes[nm]), []).append(i)
@@ -198,9 +206,18 @@ def run_split(cfg: DISYoloConfig, model, variables, images: np.ndarray,
         t0 = time.time()
         inflight: List = []
         for run_s, sel, gt_p, gt_a, rows, gt_s in jobs:
-            imgs, wins = _pad_batch(b, images[sel], windows[sel])
+            # batch by DEVICE gather from the resident split (tail batches
+            # pad by repeating the last index — per-image programs never
+            # read the padded slots' results, `sel` bounds the fetch)
+            sel_pad = list(sel) + [sel[-1]] * (b - len(sel))
+            imgs = img_dev[jnp.asarray(sel_pad)]
+            wins = windows[sel]
+            if len(sel) < b:
+                wins = np.concatenate(
+                    [wins, np.tile([0., 0., 1., 1.],
+                                   (b - len(sel), 1)).astype(np.float32)])
             extra = (gt_s,) if gt_s is not None else ()
-            out = run_s(variables, jnp.asarray(imgs), jnp.asarray(wins),
+            out = run_s(variables, imgs, jnp.asarray(wins),
                         gt_p, gt_a, jnp.asarray(rows), *extra)
             inflight.append((sel, out))
             if len(inflight) > 2:

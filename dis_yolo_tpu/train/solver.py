@@ -153,7 +153,13 @@ class Solver:
             device_score = on_tpu and device_paste is None
         if device_paste is None:
             device_paste = on_tpu and not device_score
-        images, names, windows = self.val_data.get()
+        # read the split from disk once per process: DefectValData.get()
+        # re-decodes every image per call, and the periodic sweep would
+        # otherwise pay that every save_iter (the stable host identity also
+        # keys the device-resident image cache inside run_split)
+        if not hasattr(self, "_val_arrays"):
+            self._val_arrays = self.val_data.get()
+        images, names, windows = self._val_arrays
         variables = {"params": self.state.params,
                      "batch_stats": self.state.batch_stats}
         detdata, t_pred = run_split(
