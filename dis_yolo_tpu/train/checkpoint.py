@@ -98,8 +98,7 @@ def save_checkpoint_background(ckpt_dir: str, state, step: int) -> str:
         import concurrent.futures
         _SAVE_POOL = concurrent.futures.ThreadPoolExecutor(
             max_workers=1, thread_name_prefix="ckpt_save")
-    snap = jax.tree.map(
-        lambda x: jnp_copy(x) if hasattr(x, "devices") else x, state)
+    snap = _snapshot(state)
     path = os.path.join(os.path.abspath(ckpt_dir), f"step_{step:08d}")
     fut = _SAVE_POOL.submit(save_checkpoint, ckpt_dir, snap, step, True)
     _PENDING.append(fut)
@@ -107,10 +106,23 @@ def save_checkpoint_background(ckpt_dir: str, state, step: int) -> str:
     return path
 
 
-def jnp_copy(x):
-    """Device-side clone (new buffers, same device/sharding)."""
-    import jax.numpy as jnp
-    return jnp.array(x, copy=True)
+_SNAP_JIT = None
+
+
+def _snapshot(state):
+    """Device-side clone of a whole pytree in ONE dispatch.
+
+    A per-leaf ``jnp.array(copy=True)`` loop costs one host->device round
+    trip per leaf — ~200 leaves x ~30 ms tunnel RTT = ~6 s measured inside
+    the save-interval gap.  One jitted tree-copy program pays a single
+    dispatch; ``x.copy()`` is a real HLO copy (not a passthrough), so the
+    outputs are fresh buffers decoupled from the live donated state.
+    """
+    global _SNAP_JIT
+    if _SNAP_JIT is None:
+        _SNAP_JIT = jax.jit(
+            lambda t: jax.tree.map(lambda x: x.copy(), t))
+    return _SNAP_JIT(state)
 
 
 def save_checkpoint(ckpt_dir: str, state, step: int, wait: bool = False) -> str:
